@@ -1,0 +1,145 @@
+"""FASTA/FASTQ ingestion (reference: bioparser usage, team_mapper.cpp:399-402,
+527-557) plus input statistics (team_mapper.cpp:186-280).
+
+The hot path delegates to the native C++ extension when available (see
+``bioinfo1_tpu/io/native.py``); this module is the pure-Python fallback and
+the semantic definition:
+
+* names are the header's first whitespace-delimited token,
+* FASTA sequences may wrap lines; all whitespace inside the record is dropped,
+* FASTQ records are @name / sequence lines / '+' separator / quality lines of
+  matching total length,
+* gzip input is transparently decompressed (bioparser supports gzip via zlib),
+* format sniffing tries FASTQ first and falls back to FASTA, exactly like the
+  reference's try/catch chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+from typing import List, Tuple
+
+Record = Tuple[str, str]  # (name, sequence)
+
+
+class FormatError(ValueError):
+    pass
+
+
+def _read_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        if head == b"\x1f\x8b":
+            with gzip.open(f) as gz:
+                return gz.read()
+        return f.read()
+
+
+def parse_fasta(path: str) -> List[Record]:
+    text = _read_bytes(path).decode("latin1")
+    pos, n = 0, len(text)
+    while pos < n and text[pos].isspace():
+        pos += 1
+    if pos >= n or text[pos] != ">":
+        raise FormatError(f"file is not in FASTA format: {path}")
+    records: List[Record] = []
+    name = None
+    seq_parts: List[str] = []
+    for line in text[pos:].splitlines():
+        if line.startswith(">"):
+            if name is not None:
+                records.append((name, "".join(seq_parts)))
+            name = line[1:].split(None, 1)[0] if line[1:].strip() else ""
+            seq_parts = []
+        else:
+            seq_parts.append("".join(line.split()))
+    if name is not None:
+        records.append((name, "".join(seq_parts)))
+    return records
+
+
+def parse_fastq(path: str) -> List[Record]:
+    text = _read_bytes(path).decode("latin1")
+    lines = [ln.rstrip() for ln in text.splitlines()]
+    i, n = 0, len(lines)
+    records: List[Record] = []
+    while i < n and not lines[i]:
+        i += 1
+    if i >= n or not lines[i].startswith("@"):
+        raise FormatError(f"file is not in FASTQ format: {path}")
+    while i < n:
+        if not lines[i]:
+            i += 1
+            continue
+        if not lines[i].startswith("@"):
+            raise FormatError(f"malformed FASTQ record: {path}")
+        name = lines[i][1:].split(None, 1)[0] if lines[i][1:].strip() else ""
+        i += 1
+        seq_parts: List[str] = []
+        while i < n and not lines[i].startswith("+"):
+            seq_parts.append(lines[i])
+            i += 1
+        if i >= n:
+            raise FormatError(f"malformed FASTQ record: {path}")
+        i += 1  # skip '+' line
+        seq = "".join(seq_parts)
+        qual_len = 0
+        while qual_len < len(seq) and i < n:
+            qual_len += len(lines[i])
+            i += 1
+        if qual_len != len(seq):
+            raise FormatError(f"malformed FASTQ record: {path}")
+        records.append((name, seq))
+    return records
+
+
+@dataclasses.dataclass
+class SniffedReads:
+    records: List[Record]
+    is_fastq: bool
+
+
+def parse_reads(path: str) -> SniffedReads:
+    """FASTQ-first format sniffing with FASTA fallback (team_mapper.cpp:527-557)."""
+    try:
+        return SniffedReads(parse_fastq(path), True)
+    except FormatError:
+        pass
+    try:
+        return SniffedReads(parse_fasta(path), False)
+    except FormatError:
+        raise FormatError("Given file is not in FASTA or FASTQ format!")
+
+
+def basic_statistics(records: List[Record], kind: str) -> str:
+    """Per-file statistics block (-s flag), byte-matching the reference's
+    printBasicStatisticFASTA/FASTQ (team_mapper.cpp:186-280): per-sequence
+    name + length lines, count, integer-division mean, max, min, and N50.
+    """
+    lines = []
+    total_bases = 0
+    max_len, min_len = 0, None
+    all_lengths = []
+    label = "SequenceFASTA" if kind == "fasta" else "SequenceFASTQ"
+    for name, seq in records:
+        size = len(seq)
+        all_lengths.append(size)
+        total_bases += size
+        lines.append(f"{label} name: {name}")
+        lines.append(f"Length of sequence: {size}")
+        max_len = max(max_len, size)
+        min_len = size if min_len is None else min(min_len, size)
+    count = len(records)
+    lines.append(f"Total number of sequences: {count}")
+    lines.append(f"Average length of sequences: {total_bases // count if count else 0}")
+    lines.append(f"Maximal length of sequence: {max_len}")
+    lines.append(f"Minimal length of sequence: {min_len if min_len is not None else 0}")
+    cumulative = 0
+    for length in sorted(all_lengths, reverse=True):
+        cumulative += length
+        if cumulative >= total_bases // 2:
+            lines.append(f"N50 length: {length}")
+            break
+    return "\n".join(lines)
