@@ -1,0 +1,182 @@
+"""Batched minimizer extraction on device.
+
+TPU-first re-design of KMER::Minimize (team_minimizers.cpp:122-225).  The
+reference walks a deque per window and rescans it for the minimum - O(L*w*k)
+scalar work.  Here the whole batch is processed as fixed-shape vector ops:
+rolling k-mer hashes once (O(L*k) fused shifts), then an incremental
+window-min ladder that reuses the size-(s-1) window minima to build size-s
+minima, O(L*w) total, fully parallel over reads and positions.
+
+Emit-order contract (load-bearing for LIS parity; see reference_model.minimize):
+slot layout per read is
+
+  [prefix windows s=1..w-1][dense windows start=0..NK-w][suffix windows s=1..w-1]
+
+with 1-based positions and leftmost-minimum tie-breaking.  Duplicate window
+winners are retained (the reference returns them all); ``dedup_keep`` marks
+the order-preserving first occurrence of each (hash, pos), replacing the
+reference's stringified-hash-set dedup (team_mapper.cpp:28-45).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bioinfo1_tpu.ops.encode import INVALID_HASH, INVALID_POS, kmer_hashes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Minimizers:
+    """Fixed-shape minimizer sweep result.
+
+    hashes: (B, T) uint32; pos: (B, T) int32 1-based; valid: (B, T) bool.
+    dedup_keep: (B, T) bool - valid AND first occurrence of (hash, pos).
+    T = 2*(w-1) + (L - k + 1) - (w - 1) slots (see module docstring).
+    """
+
+    hashes: jax.Array
+    pos: jax.Array
+    valid: jax.Array
+    dedup_keep: jax.Array
+
+
+def _combine(h1, p1, h2, p2):
+    """Leftmost-min combine: first argument wins ties (strict < scan)."""
+    take1 = (h1 < h2) | ((h1 == h2) & (p1 <= p2))
+    return jnp.where(take1, h1, h2), jnp.where(take1, p1, p2)
+
+
+def num_slots(padded_len: int, k: int, w: int) -> int:
+    nk = padded_len - k + 1
+    ndense = max(nk - w + 1, 0)
+    return 2 * (w - 1) + ndense
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
+                   k: int, w: int) -> Minimizers:
+    """Reference-exact minimizer sweep over a padded batch.
+
+    Args:
+      seq_bytes: (B, L) uint8 ASCII, right-padded.
+      lengths:   (B,) int32.
+      k, w:      static minimizer parameters (w >= 1, L >= k).
+    """
+    B, L = seq_bytes.shape
+    if L < k + w - 1:
+        raise ValueError(f"padded length {L} must be >= k+w-1={k + w - 1}; "
+                         "pad the batch up")
+    h, kvalid = kmer_hashes(seq_bytes, lengths, k)
+    nk_max = L - k + 1
+    nk = jnp.maximum(lengths - k + 1, 0)  # (B,) valid k-mer count
+
+    base_pos = jnp.arange(nk_max, dtype=jnp.int32)[None, :] + 1  # 1-based
+    pos = jnp.where(kvalid, base_pos, INVALID_POS)
+
+    ndense = max(nk_max - w + 1, 0)
+
+    prefix_h, prefix_p = [], []   # windows of k-mers [0, s-1], s = 1..w-1
+    suffix_h, suffix_p = [], []   # windows of k-mers [NK-s, NK-1]
+    wh, wp = h, pos               # window minima ladder, current size s
+    row = jnp.arange(B)
+    for s in range(1, w + 1):
+        if s > 1:
+            wh, wp = _combine(wh[:, : nk_max - s + 1], wp[:, : nk_max - s + 1],
+                              h[:, s - 1:], pos[:, s - 1:])
+        if s < w:
+            # Prefix end-window of size s anchors at start 0.  Invalid k-mers
+            # carry +inf sentinels, so short sequences clamp to their valid
+            # k-mers (fixed version of the reference's unguarded OOB read).
+            prefix_h.append(wh[:, 0])
+            prefix_p.append(wp[:, 0])
+            # Suffix end-window of size s anchors at start nk - s (dynamic
+            # per read); emitted only when nk >= s (mask applied below).
+            idx = jnp.clip(nk - s, 0, max(nk_max - s, 0))
+            suffix_h.append(wh[row, idx])
+            suffix_p.append(wp[row, idx])
+
+    parts_h, parts_p, parts_v = [], [], []
+    if w > 1:
+        pre_h = jnp.stack(prefix_h, axis=1)
+        pre_p = jnp.stack(prefix_p, axis=1)
+        pre_v = jnp.broadcast_to((nk >= 1)[:, None], pre_h.shape)
+        parts_h.append(pre_h)
+        parts_p.append(pre_p)
+        parts_v.append(pre_v)
+    if ndense > 0:
+        dense_h = wh[:, :ndense]
+        dense_p = wp[:, :ndense]
+        starts = jnp.arange(ndense, dtype=jnp.int32)[None, :]
+        dense_v = starts <= (nk - w)[:, None]
+        parts_h.append(dense_h)
+        parts_p.append(dense_p)
+        parts_v.append(dense_v)
+    if w > 1:
+        suf_h = jnp.stack(suffix_h, axis=1)
+        suf_p = jnp.stack(suffix_p, axis=1)
+        # Suffix window of size s is emitted iff L >= k + s - 1, i.e. nk >= s
+        # (team_minimizers.cpp:198 guard).
+        s_idx = jnp.arange(1, w, dtype=jnp.int32)[None, :]
+        suf_v = nk[:, None] >= s_idx
+        parts_h.append(suf_h)
+        parts_p.append(suf_p)
+        parts_v.append(suf_v)
+
+    hashes = jnp.concatenate(parts_h, axis=1)
+    positions = jnp.concatenate(parts_p, axis=1)
+    valid = jnp.concatenate(parts_v, axis=1)
+    hashes = jnp.where(valid, hashes, INVALID_HASH)
+    positions = jnp.where(valid, positions, INVALID_POS)
+    dedup = _first_occurrence_mask(hashes, positions, valid)
+    return Minimizers(hashes=hashes, pos=positions, valid=valid,
+                      dedup_keep=dedup)
+
+
+def _first_occurrence_mask(hashes, positions, valid):
+    """Order-preserving first-occurrence mask of (hash, pos) per row.
+
+    Sort-based: order rows by (hash, pos, slot); within a run of equal
+    (hash, pos) only the smallest original slot survives.  Invalid slots
+    (sentinel keys) never survive.
+    """
+    B, T = hashes.shape
+    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
+
+    def per_row(h, p, s, v):
+        order = jnp.lexsort((s, p, h))
+        hs, ps, ss, vs = h[order], p[order], s[order], v[order]
+        new_run = jnp.concatenate([
+            jnp.ones((1,), dtype=bool),
+            (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1]),
+        ])
+        keep_sorted = new_run & vs
+        return jnp.zeros((T,), dtype=bool).at[ss].set(keep_sorted)
+
+    return jax.vmap(per_row)(hashes, positions, slot, valid)
+
+
+def window_frequencies(hashes: jax.Array, valid: jax.Array,
+                       sorted_unique_hashes: jax.Array) -> jax.Array:
+    """Count window wins per distinct hash (KMER frequency histogram,
+    team_minimizers.cpp:166-169: every emitted window counts, duplicates
+    included).
+
+    Args:
+      hashes/valid: (B, T) sweep output (typically B=1 for the genome).
+      sorted_unique_hashes: (U,) ascending distinct hashes to count into.
+    Returns:
+      (U,) int32 counts.
+    """
+    flat = hashes.reshape(-1)
+    fvalid = valid.reshape(-1)
+    idx = jnp.searchsorted(sorted_unique_hashes, flat)
+    idx = jnp.clip(idx, 0, sorted_unique_hashes.shape[0] - 1)
+    hit = fvalid & (sorted_unique_hashes[idx] == flat)
+    contrib = jnp.where(hit, 1, 0)
+    return jnp.zeros(sorted_unique_hashes.shape[0], dtype=jnp.int32).at[idx].add(
+        contrib)

@@ -1,0 +1,101 @@
+"""Device minimizer kernel vs the executable spec."""
+
+import random
+
+import numpy as np
+import pytest
+
+from bioinfo1_tpu import reference_model as rm
+from bioinfo1_tpu.ops import minimizer as mz
+from bioinfo1_tpu.ops.encode import INVALID_HASH
+
+
+def _pack(seqs, pad_to=None):
+    L = max(len(s) for s in seqs)
+    if pad_to:
+        L = max(L, pad_to)
+    arr = np.zeros((len(seqs), L), dtype=np.uint8)
+    lens = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, :len(s)] = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
+        lens[i] = len(s)
+    return arr, lens
+
+
+def _device_minimizers(seqs, k, w, pad_to=None):
+    arr, lens = _pack(seqs, pad_to=max(pad_to or 0, k + w - 1))
+    res = mz.minimize_batch(arr, lens, k, w)
+    out = []
+    for i in range(len(seqs)):
+        v = np.asarray(res.valid[i])
+        h = np.asarray(res.hashes[i])[v]
+        p = np.asarray(res.pos[i])[v]
+        out.append([(int(hh), int(pp), True) for hh, pp in zip(h, p)])
+    return res, out
+
+
+@pytest.mark.parametrize("k,w", [(3, 2), (3, 3), (5, 5), (15, 5), (4, 1), (2, 7)])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_minimize_matches_spec_random(k, w, seed):
+    rng = random.Random(seed * 100 + k * 10 + w)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(rng.randrange(k + w, 400)))
+            for _ in range(8)]
+    _, got = _device_minimizers(seqs, k, w)
+    for s, g in zip(seqs, got):
+        want = rm.minimize(s, k, w).minimizers
+        assert g == want, f"k={k} w={w} len={len(s)}"
+
+
+@pytest.mark.parametrize("k,w", [(3, 2), (15, 5), (3, 5)])
+def test_minimize_short_and_edge_lengths(k, w):
+    # Lengths straddling every emission boundary: < k, == k, k..k+2w.
+    seqs = []
+    rng = random.Random(42)
+    for L in range(1, k + 2 * w + 2):
+        seqs.append("".join(rng.choice("ACGT") for _ in range(L)))
+    _, got = _device_minimizers(seqs, k, w)
+    for s, g in zip(seqs, got):
+        want = rm.minimize(s, k, w).minimizers
+        assert g == want, f"k={k} w={w} len={len(s)}"
+
+
+def test_minimize_worked_example():
+    """The report's worked example sequence, k=3 w=2."""
+    _, got = _device_minimizers(["TGACGTACATGGACA"], 3, 2)
+    want = rm.minimize("TGACGTACATGGACA", 3, 2).minimizers
+    assert got[0] == want
+
+
+def test_dedup_keep_is_order_preserving_first_occurrence():
+    rng = random.Random(3)
+    seqs = ["".join(rng.choice("ACGT") for _ in range(200)) for _ in range(4)]
+    res, _ = _device_minimizers(seqs, 5, 5)
+    for i, s in enumerate(seqs):
+        v = np.asarray(res.valid[i])
+        keep = np.asarray(res.dedup_keep[i])
+        h = np.asarray(res.hashes[i])
+        p = np.asarray(res.pos[i])
+        got = [(int(h[t]), int(p[t]), True) for t in range(len(v)) if keep[t]]
+        want = rm.remove_duplicates(rm.minimize(s, 5, 5).minimizers)
+        assert got == want
+        assert not np.any(keep & ~v)
+
+
+def test_window_frequencies_match_spec():
+    rng = random.Random(9)
+    s = "".join(rng.choice("ACGT") for _ in range(500))
+    arr, lens = _pack([s])
+    res = mz.minimize_batch(arr, lens, 5, 5)
+    spec = rm.minimize(s, 5, 5)
+    uniq = np.array(sorted(spec.frequencies.keys()), dtype=np.uint32)
+    counts = np.asarray(mz.window_frequencies(res.hashes, res.valid, uniq))
+    for hsh, cnt in zip(uniq, counts):
+        assert spec.frequencies[int(hsh)] == int(cnt)
+
+
+def test_invalid_slots_are_sentinels():
+    arr, lens = _pack(["ACGTACG", "AC"], pad_to=32)
+    res = mz.minimize_batch(arr, lens, 3, 3)
+    v = np.asarray(res.valid)
+    assert not v[1].any()  # length 2 < k: nothing emitted
+    assert (np.asarray(res.hashes)[~v] == INVALID_HASH).all()
