@@ -1,0 +1,210 @@
+"""Command-line driver with the reference's exact surface.
+
+Mirrors main() (team_mapper.cpp:328-397): same flags, same defaults, same
+help/version text, same exit codes - so parity harnesses can diff outputs
+against the compiled reference binary directly.
+
+Extensions (not in the reference; all opt-in, prefixed ``--``):
+  --sam-cigar      emit SAM-convention CIGARs instead of the reference's
+                   swapped I/D convention (team_alignment.cpp:128-137)
+  --bug-compat     replicate the reference's bugs exactly (SURVEY.md 2.3 #11)
+  --save-index P / --load-index P   persist / reuse the packed index
+  --batch-size N   reads per device batch
+  --threads ignored (device batching replaces OpenMP)
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from bioinfo1_tpu.io import fastx
+from bioinfo1_tpu.utils import stats as st
+
+VERSION = "3.1.0"
+PROGRAM_NAME = "toolForGenomeAllignment"
+
+HELP_TEXT = (
+    "\n"
+    f"Usage: {PROGRAM_NAME}[options] <file1> <file2>\n"
+    "NOTE: file1 needs to be in FASTA format, while the second file will "
+    "contain a set of fragments in either FASTA or FASTQ format.\n"
+    "Options: \n"
+    "\t  -a, --alignment TYPE     Alignment type: global, local, semiGlobal\n"
+    "\t  -m MATCH                 Match score (default: 1)\n"
+    "\t  -n MISMATCH              Mismatch penalty (default: -1)\n"
+    "\t  -g GAP                   Gap penalty (default: -1)\n"
+    "\t  -k KMER                  k-mer length for minimizers (default: 15)\n"
+    "\t  -w WINDOW                window size for minimizers (default: 5)\n"
+    "\t  -f FREQUENCY_THRESHOLD   Frequency threshold factor (default: 0.001)\n"
+    "\t  -c                       Output CIGAR string\n"
+    "\t  -h, --help               Show this help message\n"
+    "\t  --version                Show version information\n"
+    "\t  -s                       Basic statistic for first and second file\n"
+)
+
+
+def _atoi(s: str) -> int:
+    """std::atoi semantics: parse leading integer, 0 on failure."""
+    s = s.strip()
+    i, n = 0, len(s)
+    if i < n and s[i] in "+-":
+        i += 1
+    j = i
+    while j < n and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[:j])
+
+
+def main(argv: Optional[List[str]] = None,
+         stdout=None, stderr=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    out = stdout if stdout is not None else sys.stdout
+    err = stderr if stderr is not None else sys.stderr
+
+    # BIOINFO1_PLATFORM=cpu|tpu|axon pins the JAX backend.  The plain
+    # JAX_PLATFORMS env var is NOT honored here: the axon TPU plugin
+    # force-registers itself and overrides it; only a config.update before
+    # first backend use wins.
+    import os
+    platform = os.environ.get("BIOINFO1_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+
+    cfg = MapperConfig()
+    file1 = file2 = ""
+    statistic = False
+    save_index = load_index = None
+
+    if not argv:
+        print("Error: Not enough arguments", file=err)
+        print(HELP_TEXT, end="", file=out)
+        return 1
+    if argv[0] in ("-h", "--help"):
+        print(HELP_TEXT, end="", file=out)
+        return 0
+    if argv[0] == "--version":
+        print(f"{PROGRAM_NAME} v{VERSION}", file=out)
+        return 0
+    if len(argv) < 2:
+        print("Error: Expected two input files", file=err)
+        return 1
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-a", "--alignment") and i + 1 < len(argv):
+            i += 1
+            if argv[i] in ("global", "local", "semiGlobal"):
+                cfg.align_type = argv[i]
+            else:
+                print("Error: Expected Alignment type: global, local, "
+                      "semiGlobal", file=err)
+                print(HELP_TEXT, end="", file=out)
+                return 1
+        elif a == "-m" and i + 1 < len(argv):
+            i += 1; cfg.match = _atoi(argv[i])
+        elif a == "-n" and i + 1 < len(argv):
+            i += 1; cfg.mismatch = _atoi(argv[i])
+        elif a == "-g" and i + 1 < len(argv):
+            i += 1; cfg.gap = _atoi(argv[i])
+        elif a == "-k" and i + 1 < len(argv):
+            i += 1; cfg.k = _atoi(argv[i])
+        elif a == "-w" and i + 1 < len(argv):
+            i += 1; cfg.w = _atoi(argv[i])
+        elif a == "-f" and i + 1 < len(argv):
+            i += 1; cfg.f = float(argv[i])
+        elif a == "-c":
+            cfg.output_cigar = True
+        elif a == "-s":
+            statistic = True
+        elif a == "--sam-cigar":
+            cfg.sam_cigar = True
+        elif a == "--bug-compat":
+            cfg.banned_rev_from_fwd = True
+            cfg.fasta_match_nesting = True
+            cfg.local_target_begin_end = True
+            cfg.threshold_from_rev_unique = True
+        elif a == "--save-index" and i + 1 < len(argv):
+            i += 1; save_index = argv[i]
+        elif a == "--load-index" and i + 1 < len(argv):
+            i += 1; load_index = argv[i]
+        elif a == "--batch-size" and i + 1 < len(argv):
+            i += 1; cfg.batch_size = max(1, _atoi(argv[i]))
+        elif not file1:
+            file1 = a
+        elif not file2:
+            file2 = a
+        else:
+            print(f"Unknown or extra argument: {a}", file=err)
+            print(HELP_TEXT, end="", file=out)
+            return 1
+        i += 1
+
+    if not file1 or not file2:
+        print("Error: Two input files are required.", file=err)
+        print(HELP_TEXT, end="", file=out)
+        return 1
+
+    try:
+        reference_records = fastx.parse_fasta(file1)
+    except (OSError, fastx.FormatError) as e:
+        # The reference aborts via an uncaught bioparser exception here; we
+        # fail with a clean message instead.
+        print(f"Error: cannot read reference FASTA: {e}", file=err)
+        return 1
+    if not reference_records:
+        print(f"Error: reference FASTA is empty: {file1}", file=err)
+        return 1
+    if statistic:
+        print("Basic statistic for reference genome", file=out)
+        print("------------------------------------", file=out)
+        print(fastx.basic_statistics(reference_records, "fasta"), file=out)
+
+    mapper = Mapper(reference_records, cfg, load_index=load_index)
+    if save_index:
+        from bioinfo1_tpu.index.builder import save_index as do_save
+        do_save(mapper.index, save_index)
+
+    if statistic:
+        idx = mapper.index
+        print(st.index_statistics(
+            (idx.fwd.n_distinct_hashes, idx.fwd.n_singleton_hashes,
+             idx.fwd.top_surviving),
+            (idx.rev.n_distinct_hashes, idx.rev.n_singleton_hashes,
+             idx.rev.top_surviving),
+            cfg.k), file=out)
+
+    try:
+        reads = fastx.parse_reads(file2)
+    except fastx.FormatError:
+        print("Given file is not in FASTA or FASTQ format! ", file=err)
+        return 1
+    # The FASTA-branch match-nesting bug only applies when the reads file is
+    # FASTA (team_mapper.cpp:629-638); FASTQ always does independent lookups.
+    if cfg.fasta_match_nesting and reads.is_fastq:
+        cfg.fasta_match_nesting = False
+
+    if statistic:
+        print(file=out)
+        print("Basic statistic for fragments of genome", file=out)
+        print("------------------------------------", file=out)
+        kind = "fastq" if reads.is_fastq else "fasta"
+        print(fastx.basic_statistics(reads.records, kind), file=out)
+
+    # Per-read stats only exist in the reference's FASTA branch
+    # (team_mapper.cpp:610-624); the FASTQ loop has none.
+    per_read_stats = statistic and not reads.is_fastq
+    for line in mapper.map_records(reads.records,
+                                   per_read_stats=per_read_stats):
+        print(line, file=out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

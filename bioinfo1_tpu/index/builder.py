@@ -1,0 +1,267 @@
+"""Minimizer index of the reference genome as sorted arrays.
+
+TPU-first replacement for the reference's
+``unordered_map<hash, set<pair<pos,bool>>>`` (team_mapper.cpp:412-413):
+a hash map is hostile to fixed-shape device code, so the index is two sorted
+arrays per strand - (hash, pos) pairs sorted lexicographically - and lookups
+become ``searchsorted`` + contiguous gathers (see ops/match.py).
+
+Build semantics (team_mapper.cpp:410-477, quirks 3-5 in SURVEY.md 2.3):
+  * forward strand indexes the reference, reverse strand indexes the
+    re-minimized reverse complement (positions live in RC coordinates),
+  * per-strand frequency = number of windows a hash won (duplicates count),
+  * the top ``int(f * |unique (hash,pos,strand) tuples|)`` hashes by window
+    count are banned; tie order is deterministic here (count desc, hash asc),
+  * the banned_rev-from-fwd copy-paste bug (team_mapper.cpp:469) is NOT
+    replicated (fixed; ``banned_rev_from_fwd=True`` restores it for parity
+    testing against the reference binary).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from bioinfo1_tpu.ops import minimizer as mz
+from bioinfo1_tpu import reference_model as rm
+
+
+@dataclasses.dataclass
+class StrandIndexArrays:
+    """Sorted-array index for one strand.
+
+    hash_sorted / pos_sorted: (U,) uint32/int32, lexicographically sorted by
+    (hash, pos); positions are 1-based, unique per hash (the C++ set dedup).
+    """
+
+    hash_sorted: np.ndarray
+    pos_sorted: np.ndarray
+    n_unique_tuples: int          # |unique (hash,pos)| BEFORE banning
+    n_distinct_hashes: int        # distinct hashes BEFORE banning
+    n_singleton_hashes: int       # hashes with window-frequency == 1
+    banned: np.ndarray            # (Nb,) uint32 banned hashes
+    max_bucket: int               # largest surviving per-hash position count
+    top_surviving: Optional[Tuple[int, int]]  # (hash, window count) or None
+
+
+@dataclasses.dataclass
+class IndexArrays:
+    fwd: StrandIndexArrays
+    rev: StrandIndexArrays
+    ref_len: int
+    k: int
+    w: int
+    # Strand sequences cached for alignment-region extraction (filled by the
+    # pipeline layer; not persisted by save_index - reload re-derives them).
+    ref_fwd_seq: Optional[str] = None
+    ref_rev_seq: Optional[str] = None
+
+
+#: Dense windows per device tile.  One canonical compile of
+#: dense_window_min_batch serves every genome; E. coli (4.6 Mbp) is ~36 tiles.
+TILE_WINDOWS = 1 << 17
+
+_BASE_CODE = np.zeros(256, dtype=np.uint32)
+for _c, _v in zip(b"CATG", (0, 1, 2, 3)):
+    _BASE_CODE[_c] = _v
+
+
+def _host_kmer_hashes(seq_bytes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling 2-bit hashes on the host (used only for tiny end-windows)."""
+    nk = len(seq_bytes) - k + 1
+    if nk <= 0:
+        return np.zeros((0,), dtype=np.uint32)
+    codes = _BASE_CODE[seq_bytes]
+    h = np.zeros((nk,), dtype=np.uint32)
+    for j in range(k):
+        h = (h << np.uint32(2)) | codes[j:j + nk]
+    return h
+
+
+def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int):
+    """All window-win (hash, 1-based pos) pairs of one genome strand,
+    duplicates included (order is irrelevant - the index sorts).
+
+    Dense windows run on device over fixed-shape tiles; the <= 2(w-1)
+    end-windows (team_minimizers.cpp:146-170, 197-222) are host-side numpy.
+    """
+    import jax
+    L = len(seq_bytes)
+    nk = L - k + 1
+    if nk <= 0:
+        z = np.zeros((0,), dtype=np.uint32)
+        return z, z.astype(np.int32)
+
+    out_h: list = []
+    out_p: list = []
+
+    # End-windows (fixed semantics: prefix clamps to valid k-mers instead of
+    # the reference's out-of-bounds read; suffix guarded by L >= k + s - 1).
+    if w > 1:
+        head = _host_kmer_hashes(seq_bytes[: (w - 1) + k - 1], k)
+        tail_start = max(nk - (w - 1), 0)
+        tail = _host_kmer_hashes(seq_bytes[tail_start:], k)
+        for s in range(1, w):
+            hi = min(s, len(head))
+            if hi > 0:
+                j = int(np.argmin(head[:hi]))
+                out_h.append(np.uint32(head[j])); out_p.append(np.int32(j + 1))
+            if nk >= s:
+                window = tail[len(tail) - s:]
+                j = int(np.argmin(window))
+                out_p.append(np.int32(nk - s + j + 1))
+                out_h.append(np.uint32(window[j]))
+
+    ends_h = np.array(out_h, dtype=np.uint32)
+    ends_p = np.array(out_p, dtype=np.int32)
+
+    nd = nk - w + 1
+    if nd <= 0:
+        return ends_h, ends_p
+
+    # Dense windows, tiled.  Tile t covers window starts [t*T, t*T + T) and
+    # needs bases [t*T, t*T + T + w + k - 2).
+    T = TILE_WINDOWS
+    in_len = T + w + k - 2
+    n_tiles = -(-nd // T)
+    b_pad = 1
+    while b_pad < n_tiles:
+        b_pad *= 2
+    tiles = np.zeros((b_pad, in_len), dtype=np.uint8)
+    for t in range(n_tiles):
+        chunk = seq_bytes[t * T: t * T + in_len]
+        tiles[t, : len(chunk)] = chunk
+    th, tp = jax.device_get(mz.dense_window_min_batch(tiles, k, w))
+    th = th[:n_tiles].reshape(-1)[:nd]
+    tp = (tp[:n_tiles] + (np.arange(n_tiles, dtype=np.int32) * T)[:, None])
+    tp = tp.reshape(-1)[:nd]
+
+    return (np.concatenate([ends_h, th.astype(np.uint32)]),
+            np.concatenate([ends_p, tp.astype(np.int32)]))
+
+
+def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
+                  ban_from: Optional[np.ndarray] = None,
+                  ban_count_limit: Optional[int] = None,
+                  unique_override: Optional[int] = None) -> StrandIndexArrays:
+    """Sort, dedup, count window wins, ban top-f, and pack one strand."""
+    order = np.lexsort((pos, hashes))
+    hs, ps = hashes[order], pos[order]
+    # Unique (hash, pos) tuples = C++ unique_minmizers set (strand constant).
+    new_tuple = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        new_tuple[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+    uh, up = hs[new_tuple], ps[new_tuple]
+    n_unique = len(uh)
+
+    # Window-win frequency per distinct hash (duplicates included).
+    distinct, freq = np.unique(hashes, return_counts=True)
+    n_distinct = len(distinct)
+    n_singleton = int((freq == 1).sum())
+
+    threshold = int(f * (n_unique if unique_override is None else unique_override))
+    count = max(0, min(threshold, n_distinct))
+    if ban_count_limit is not None:
+        count = max(0, min(threshold, ban_count_limit))
+    rank_distinct, rank_freq = distinct, freq
+    if ban_from is not None:
+        rank_distinct, rank_freq = ban_from
+    rank = np.lexsort((rank_distinct, -rank_freq.astype(np.int64)))
+    banned = np.sort(rank_distinct[rank[:count]].astype(np.uint32))
+
+    keep = ~np.isin(uh, banned, assume_unique=False)
+    fh, fp = uh[keep].astype(np.uint32), up[keep].astype(np.int32)
+
+    max_bucket = 0
+    if len(fh):
+        _, bucket_counts = np.unique(fh, return_counts=True)
+        max_bucket = int(bucket_counts.max())
+
+    # Most frequent surviving minimizer (team_mapper.cpp:504-520 statistics).
+    top = None
+    surviving = ~np.isin(distinct, banned)
+    if surviving.any():
+        sfreq = np.where(surviving, freq, -1)
+        i = int(np.argmax(sfreq))
+        # The C++ scans an unordered_map with strict '>' - tie order is
+        # unspecified there; we pick the smallest hash among ties.
+        best = int(sfreq[i])
+        ties = distinct[(sfreq == best) & surviving]
+        top = (int(ties.min()), best)
+
+    return StrandIndexArrays(
+        hash_sorted=fh, pos_sorted=fp, n_unique_tuples=n_unique,
+        n_distinct_hashes=n_distinct, n_singleton_hashes=n_singleton,
+        banned=banned, max_bucket=max_bucket, top_surviving=top)
+
+
+def build_index(reference: str, k: int, w: int, f: float,
+                banned_rev_from_fwd: bool = False,
+                threshold_from_rev_unique: bool = False) -> IndexArrays:
+    """``threshold_from_rev_unique`` replicates the shared-global quirk where
+    both strands' ban thresholds scale with the REV unique-tuple count (see
+    reference_model.build_index docstring; team_mapper.cpp:433-434 +
+    team_minimizers.cpp:19-22)."""
+    ref_bytes = np.frombuffer(reference.encode("latin1"), dtype=np.uint8)
+    fwd_h, fwd_p = _strand_sweep(ref_bytes, k, w)
+    rc = rm.reverse_complement(reference)
+    rc_bytes = np.frombuffer(rc.encode("latin1"), dtype=np.uint8)
+    rev_h, rev_p = _strand_sweep(rc_bytes, k, w)
+
+    unique_override = None
+    if threshold_from_rev_unique:
+        ro = np.lexsort((rev_p, rev_h))
+        rh2, rp2 = rev_h[ro], rev_p[ro]
+        new_t = np.ones(len(rh2), dtype=bool)
+        if len(rh2) > 1:
+            new_t[1:] = (rh2[1:] != rh2[:-1]) | (rp2[1:] != rp2[:-1])
+        unique_override = int(new_t.sum())
+
+    fwd = _build_strand(fwd_h, fwd_p, f, unique_override=unique_override)
+    if banned_rev_from_fwd:
+        # Reference bug #1: rev banned hashes drawn from the fwd ranking,
+        # loop bound still min(threshold_rev, |rev distinct|).
+        fwd_distinct, fwd_freq = np.unique(fwd_h, return_counts=True)
+        rev_distinct_count = len(np.unique(rev_h))
+        rev = _build_strand(rev_h, rev_p, f,
+                            ban_from=(fwd_distinct, fwd_freq),
+                            ban_count_limit=rev_distinct_count)
+    else:
+        rev = _build_strand(rev_h, rev_p, f)
+
+    return IndexArrays(fwd=fwd, rev=rev, ref_len=len(reference), k=k, w=w,
+                       ref_fwd_seq=reference, ref_rev_seq=rc)
+
+
+def save_index(index: IndexArrays, path: str) -> None:
+    """Persist the packed index (checkpoint/resume subsystem; the reference
+    rebuilds from FASTA every run - SURVEY.md section 5)."""
+    np.savez_compressed(
+        path,
+        fwd_hash=index.fwd.hash_sorted, fwd_pos=index.fwd.pos_sorted,
+        rev_hash=index.rev.hash_sorted, rev_pos=index.rev.pos_sorted,
+        fwd_banned=index.fwd.banned, rev_banned=index.rev.banned,
+        meta=np.array([index.ref_len, index.k, index.w,
+                       index.fwd.n_unique_tuples, index.rev.n_unique_tuples,
+                       index.fwd.n_distinct_hashes, index.rev.n_distinct_hashes,
+                       index.fwd.n_singleton_hashes, index.rev.n_singleton_hashes,
+                       index.fwd.max_bucket, index.rev.max_bucket],
+                      dtype=np.int64))
+
+
+def load_index(path: str) -> IndexArrays:
+    z = np.load(path)
+    meta = z["meta"]
+
+    def strand(prefix, ui, di, si, mi):
+        return StrandIndexArrays(
+            hash_sorted=z[f"{prefix}_hash"], pos_sorted=z[f"{prefix}_pos"],
+            n_unique_tuples=int(meta[ui]), n_distinct_hashes=int(meta[di]),
+            n_singleton_hashes=int(meta[si]), banned=z[f"{prefix}_banned"],
+            max_bucket=int(meta[mi]), top_surviving=None)
+
+    return IndexArrays(
+        fwd=strand("fwd", 3, 5, 7, 9), rev=strand("rev", 4, 6, 8, 10),
+        ref_len=int(meta[0]), k=int(meta[1]), w=int(meta[2]))

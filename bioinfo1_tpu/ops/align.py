@@ -1,0 +1,214 @@
+"""Batched anti-diagonal wavefront DP alignment (lax implementation).
+
+TPU-first re-design of team::Align (team_alignment.cpp:49-350).  The
+reference fills an (n+1)x(m+1) heap matrix cell-by-cell per read on one CPU
+thread; here one parameterized recurrence runs all three modes over whole
+read batches: the DP advances along anti-diagonals, keeping two previous
+diagonals as (B, n+1) vectors, so each step is a handful of fused VPU ops
+across the batch.  A Pallas kernel with the same contract lives in
+ops/pallas_align.py; this lax version is the portable fallback and the
+correctness reference for it.
+
+Semantics preserved exactly (see reference_model.align for the derivation):
+  * linear gap, literal '-' characters cost 0 (team_alignment.cpp:25-28),
+  * raw byte comparison for match/mismatch (case- and N-sensitive),
+  * M > I > D tie priority via first-set/strictly-greater (104-114),
+  * global: init i*gap borders, goal (n, m),
+  * local: zero borders, clamp negatives, goal = first strictly-greater max
+    in row-major scan order (171-199),
+  * semiGlobal: zero borders, goal = rim argmax scanning the last column
+    (i ascending) then the last row (j ascending, strictly greater) (265-278).
+
+Traceback: the kernel can emit 2-bit parents packed 16-per-uint32 along each
+diagonal; utils/cigar.py walks them on the host (CIGARs are only needed under
+the -c flag, so the default mapping path is score-only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.int32(-(2**31) + 2)
+
+MODE_GLOBAL, MODE_LOCAL, MODE_SEMIGLOBAL = 0, 1, 2
+MODE_BY_NAME = {"global": MODE_GLOBAL, "local": MODE_LOCAL,
+                "semiGlobal": MODE_SEMIGLOBAL}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AlignOut:
+    """score: (B,) int32; goal_i/goal_j: (B,) int32 traceback start cell.
+
+    parents: packed 2-bit parent words, (n+m-1, B, ceil((n+1)/16)) uint32
+    (diag d=2..n+m at index d-2, lane i at word i//16 bits 2*(i%16)), or a
+    (0,0,0) placeholder when parents were not requested.
+    """
+
+    score: jax.Array
+    goal_i: jax.Array
+    goal_j: jax.Array
+    parents: jax.Array
+
+
+def _pack_parents(p: jax.Array, W: int) -> jax.Array:
+    """(B, n1) int32 parents in {0,1,2} -> (B, W) uint32, 16 lanes/word."""
+    B, n1 = p.shape
+    pad = W * 16 - n1
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, pad)))
+    p = p.reshape(B, W, 16).astype(jnp.uint32)
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(p << shifts, axis=-1, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "want_parents"))
+def align_batch(q_bytes: jax.Array, q_lens: jax.Array,
+                t_bytes: jax.Array, t_lens: jax.Array,
+                mode: int, match: jax.Array, mismatch: jax.Array,
+                gap: jax.Array, want_parents: bool = False) -> AlignOut:
+    """Align query rows to target rows.
+
+    Args:
+      q_bytes: (B, n) uint8 ASCII query regions, right-padded.
+      q_lens:  (B,) int32 true region lengths (>= 1 for active rows).
+      t_bytes: (B, m) uint8 ASCII target regions.
+      t_lens:  (B,) int32.
+      mode: MODE_GLOBAL / MODE_LOCAL / MODE_SEMIGLOBAL (static).
+      match/mismatch/gap: int32 scoring scalars (traced; no recompiles).
+    """
+    B, n = q_bytes.shape
+    m = t_bytes.shape[1]
+    n1 = n + 1
+    W = -(-n1 // 16)
+    match = jnp.int32(match)
+    mismatch = jnp.int32(mismatch)
+    gap = jnp.int32(gap)
+    init = gap if mode == MODE_GLOBAL else jnp.int32(0)
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+
+    lanes = jnp.arange(n1, dtype=jnp.int32)[None, :]        # (1, n1)
+    rows = jnp.arange(B)
+
+    # Lane i carries query char q[i-1]; lane 0 is the boundary row.
+    q_sh = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=q_bytes.dtype), q_bytes], axis=1)
+    # indel() charges 0 for literal '-' (team_alignment.cpp:25-28).
+    dash = jnp.uint8(ord("-"))
+    del_cost = jnp.where(q_sh == dash, 0, gap).astype(jnp.int32)  # per lane
+
+    h_prev2 = jnp.zeros((B, n1), dtype=jnp.int32)            # diag d=0
+    h_prev = jnp.zeros((B, n1), dtype=jnp.int32)             # diag d=1
+    h_prev = h_prev.at[:, 0].set(init)                       # cell (0,1)
+    if n1 > 1:
+        h_prev = h_prev.at[:, 1].set(init)                   # cell (1,0)
+    tdiag = jnp.zeros((B, n1), dtype=jnp.uint8)
+    tdiag = tdiag.at[:, 0].set(t_bytes[:, 0])                # t[j-1] for (0,1)... d=1
+
+    # Carries for goal/score tracking.
+    score0 = jnp.zeros((B,), dtype=jnp.int32)                # global: H(n_r,m_r)
+    best0 = (jnp.full((B,), _NEG), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32))                     # local (cost,i,j)
+    # Semi rim carries start at the always-present boundary candidates
+    # (0, m_r) and (n_r, 0), both H=0 under zero borders: the reference's
+    # rim scans visit them first (team_alignment.cpp:265-278), and they sit
+    # on diagonals d<2 that the scan below never processes when the region
+    # is 1 wide/tall.
+    col0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    row0 = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+
+    def step(carry, d):
+        h_prev2, h_prev, tdiag, score, best, colb, rowb = carry
+        # tdiag[i] must hold t[d-1-i]; shift and inject t[d-1] at lane 0.
+        tnew = jnp.take_along_axis(
+            t_bytes, jnp.clip(d - 1, 0, m - 1)[None].repeat(B)[:, None],
+            axis=1)[:, 0]
+        tdiag = jnp.roll(tdiag, 1, axis=1).at[:, 0].set(tnew)
+
+        sub = jnp.where(q_sh == tdiag, match, mismatch).astype(jnp.int32)
+        ins_cost = jnp.where(tdiag == dash, 0, gap).astype(jnp.int32)
+
+        diag_v = jnp.roll(h_prev2, 1, axis=1) + sub          # (i-1, j-1)
+        up_v = jnp.roll(h_prev, 1, axis=1) + del_cost        # (i-1, j)
+        left_v = h_prev + ins_cost                           # (i,   j-1)
+
+        # M > I > D first-set / strictly-greater priority.
+        h = diag_v
+        parent = jnp.zeros_like(h)
+        h = jnp.where(left_v > h, left_v, h)
+        parent = jnp.where(left_v > diag_v, 1, parent)
+        take_d = up_v > h
+        h = jnp.where(take_d, up_v, h)
+        parent = jnp.where(take_d, 2, parent)
+
+        # Boundary rows/columns of the DP matrix.
+        h = jnp.where(lanes == 0, d * init, h)               # cell (0, d)
+        h = jnp.where(lanes == d, lanes * init, h)           # cell (d, 0)
+        if mode == MODE_LOCAL:
+            h = jnp.maximum(h, 0)
+
+        # --- goal tracking ---
+        if mode == MODE_GLOBAL:
+            hit = d == (q_lens + t_lens)
+            val = h[rows, jnp.clip(q_lens, 0, n1 - 1)]
+            score = jnp.where(hit, val, score)
+        elif mode == MODE_LOCAL:
+            in_diag = ((lanes >= 1) & (lanes <= q_lens[:, None])
+                       & ((d - lanes) >= 1) & ((d - lanes) <= t_lens[:, None]))
+            cand = jnp.where(in_diag, h, _NEG)
+            c = jnp.max(cand, axis=1)
+            ci = jnp.min(jnp.where(cand == c[:, None], lanes, n1), axis=1)
+            cj = d - ci
+            bc, bi, bj = best
+            take = (c > bc) | ((c == bc) & ((ci < bi) | ((ci == bi) & (cj < bj))))
+            best = (jnp.where(take, c, bc), jnp.where(take, ci, bi),
+                    jnp.where(take, cj, bj))
+        else:  # semiGlobal rim tracking
+            # Last column: cell (d - m_r, m_r); ascending d => ascending i,
+            # strictly-greater keeps the smallest i among maxima.
+            i_col = d - t_lens
+            v_col = h[rows, jnp.clip(i_col, 0, n1 - 1)]
+            ok_col = (i_col >= 0) & (i_col <= q_lens)
+            cc, ci_ = colb
+            take = ok_col & (v_col > cc)
+            colb = (jnp.where(take, v_col, cc), jnp.where(take, i_col, ci_))
+            # Last row: cell (n_r, d - n_r).
+            j_row = d - q_lens
+            v_row = h[rows, jnp.clip(q_lens, 0, n1 - 1)]
+            ok_row = (j_row >= 0) & (j_row <= t_lens)
+            rc_, rj_ = rowb
+            take = ok_row & (v_row > rc_)
+            rowb = (jnp.where(take, v_row, rc_), jnp.where(take, j_row, rj_))
+
+        packed = _pack_parents(parent, W) if want_parents else jnp.zeros(
+            (B, 0), dtype=jnp.uint32)
+        return (h_prev, h, tdiag, score, best, colb, rowb), packed
+
+    ds = jnp.arange(2, n + m + 1, dtype=jnp.int32)
+    (h_prev2, h_prev, tdiag, score, best, colb, rowb), parents = jax.lax.scan(
+        step, (h_prev2, h_prev, tdiag, score0, best0, col0, row0), ds)
+
+    if mode == MODE_GLOBAL:
+        out_score, gi, gj = score, q_lens, t_lens
+    elif mode == MODE_LOCAL:
+        bc, bi, bj = best
+        hit = bc > _NEG
+        out_score = jnp.where(hit, bc, 0)
+        gi = jnp.where(hit, bi, 0)
+        gj = jnp.where(hit, bj, 0)
+    else:
+        cc, ci_ = colb
+        rc_, rj_ = rowb
+        row_wins = rc_ > cc
+        out_score = jnp.where(row_wins, rc_, cc)
+        gi = jnp.where(row_wins, q_lens, ci_)
+        gj = jnp.where(row_wins, rj_, t_lens)
+
+    if not want_parents:
+        parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
+    return AlignOut(score=out_score, goal_i=gi, goal_j=gj, parents=parents)

@@ -1,0 +1,327 @@
+"""End-to-end batched read mapping pipeline.
+
+TPU-first re-design of the reference's per-read OpenMP loop
+(team_mapper.cpp:596-698 FASTA / 710-789 FASTQ): instead of one thread per
+read walking hash maps and filling a heap DP matrix, whole read batches move
+through fixed-shape device stages:
+
+    pack -> minimize_batch -> find_matches (fwd+rev) -> lis_chain (fwd+rev)
+         -> strand select + region extract -> align_batch -> [traceback]
+         -> PAF rows (host)
+
+Shapes are controlled by two levers:
+  * reads are length-bucketed so each jit specialization serves a band of
+    read lengths (padding waste is bounded by the bucket growth factor),
+  * per-read match budgets start small and the rare overflowing reads are
+    retried with a doubled budget (exact - never truncates silently).
+
+Output order is input order (deterministic; documented delta from the
+reference's nondeterministic ``omp critical`` interleaving).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from bioinfo1_tpu.index.builder import IndexArrays
+from bioinfo1_tpu.ops import align as al
+from bioinfo1_tpu.ops import chain as chain_ops
+from bioinfo1_tpu.ops import match as match_ops
+from bioinfo1_tpu.ops import minimizer as mz
+from bioinfo1_tpu.utils import cigar as cg
+from bioinfo1_tpu import reference_model as rm
+
+
+@dataclasses.dataclass
+class MapperConfig:
+    """Mirror of the reference CLI knobs (team_mapper.cpp:329-334 defaults)."""
+
+    align_type: str = "global"
+    match: int = 1
+    mismatch: int = -1
+    gap: int = -1
+    k: int = 15
+    w: int = 5
+    f: float = 0.001
+    output_cigar: bool = False
+    sam_cigar: bool = False          # extension: emit SAM-convention CIGARs
+    # bug-compat switches (False = fixed semantics; see SURVEY.md 2.3 item 11)
+    banned_rev_from_fwd: bool = False
+    fasta_match_nesting: bool = False
+    local_target_begin_end: bool = False
+    threshold_from_rev_unique: bool = False
+    # batching knobs
+    batch_size: int = 512
+    initial_match_budget: int = 512
+    bucket_growth: float = 1.5
+
+
+@dataclasses.dataclass
+class ReadMapping:
+    """One read's mapping result (None fields when the read had no chain)."""
+
+    mapped: bool
+    is_fwd: bool = True
+    q_begin: int = 0
+    q_end: int = 0            # inclusive
+    t_begin: int = 0          # in strand coordinates (RC coords for rev)
+    t_end: int = 0            # inclusive
+    score: int = 0
+    cigar: Optional[str] = None
+    target_begin: Optional[int] = None
+
+
+def _pow2_at_least(x: int, floor: int = 8) -> int:
+    v = floor
+    while v < x:
+        v *= 2
+    return v
+
+
+def _pack_reads(seqs: Sequence[str], min_len: int,
+                canonical: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack strings into a right-padded uint8 batch.
+
+    ``canonical`` rounds both dims up to powers of two so jit specializations
+    recur across batches (and across runs, via the persistent compile cache)
+    instead of exploding one compile per data-dependent shape.
+    """
+    L = max(max((len(s) for s in seqs), default=1), min_len)
+    B = len(seqs)
+    if canonical:
+        L = _pow2_at_least(L, 16)
+        B = _pow2_at_least(B, 8)
+    arr = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        b = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
+        arr[i, : len(b)] = b
+        lens[i] = len(b)
+    return arr, lens
+
+
+def _bucket_indices(lengths: Sequence[int], growth: float,
+                    floor: int) -> List[List[int]]:
+    """Group read indices into power-of-two length buckets.
+
+    Pow-2 (not data-dependent) bucket caps keep the padded shapes canonical;
+    padding waste is bounded at 2x and typically far less after packing.
+    """
+    buckets_by_cap: dict = {}
+    for i, ln in enumerate(lengths):
+        cap = _pow2_at_least(max(ln, floor), 16)
+        buckets_by_cap.setdefault(cap, []).append(i)
+    return [buckets_by_cap[c] for c in sorted(buckets_by_cap)]
+
+
+def _chains_for_strand(mres, idx_strand, budget: int, max_hits: int):
+    got = match_ops.find_matches(
+        mres.hashes, mres.pos, mres.dedup_keep,
+        idx_strand.hash_sorted, idx_strand.pos_sorted, max_hits, budget)
+    return got, chain_ops.lis_chain(got.f_pos, got.r_pos, got.count)
+
+
+def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
+                budget: int) -> Tuple[List[ReadMapping], List[int]]:
+    """Map one length bucket; returns results plus indices needing a bigger
+    match budget (overflow retry path)."""
+    k, w = index.k, index.w
+    arr, lens = _pack_reads(seqs, k + w - 1)
+    mres = mz.minimize_batch(arr, lens, k, w)
+
+    # Pow-2 hit budgets keep find_matches specializations canonical across
+    # genomes; the extra slots are masked out (correctness needs only
+    # max_hits >= the strand's max bucket).
+    max_hits_f = _pow2_at_least(max(index.fwd.max_bucket, 1), 4)
+    max_hits_r = _pow2_at_least(max(index.rev.max_bucket, 1), 4)
+    got_f, chain_f = _chains_for_strand(mres, index.fwd, budget, max_hits_f)
+    if cfg.fasta_match_nesting:
+        # Bug-compat: rev lookups gated on a fwd-index hit per minimizer
+        # (team_mapper.cpp:629-638).  Mask the dedup_keep with fwd presence.
+        present = match_ops.hash_present(index.fwd.hash_sorted, mres.hashes)
+        gated_keep = jax.device_get(mres.dedup_keep) & jax.device_get(present)
+        got_r = match_ops.find_matches(
+            mres.hashes, mres.pos, gated_keep,
+            index.rev.hash_sorted, index.rev.pos_sorted, max_hits_r, budget)
+        chain_r = chain_ops.lis_chain(got_r.f_pos, got_r.r_pos, got_r.count)
+    else:
+        got_r, chain_r = _chains_for_strand(mres, index.rev, budget, max_hits_r)
+
+    overflow = jax.device_get(got_f.overflow) | jax.device_get(got_r.overflow)
+    cf = jax.device_get(chain_f)
+    cr = jax.device_get(chain_r)
+    len_f, len_r = cf.length, cr.length
+
+    # Strand selection: longer chain wins, ties forward (team_mapper.cpp:644-648).
+    use_fwd = len_f >= len_r
+    have = np.where(use_fwd, len_f, len_r) > 0
+
+    q_start = np.where(use_fwd, cf.q_start, cr.q_start)
+    q_end_m = np.where(use_fwd, cf.q_end, cr.q_end)
+    t_start = np.where(use_fwd, cf.t_start, cr.t_start)
+    t_end_m = np.where(use_fwd, cf.t_end, cr.t_end)
+
+    # Region extraction (team_mapper.cpp:653-656): 1-based minimizer pos ->
+    # 0-based inclusive [begin, end] windows extended by k.
+    q_begin = q_start - 1
+    q_end = q_end_m + k - 2
+    t_begin = t_start - 1
+    t_end = t_end_m + k - 2
+
+    results: List[ReadMapping] = [ReadMapping(mapped=False) for _ in seqs]
+    retry: List[int] = []
+
+    # Collect alignment jobs (skip unmapped reads and overflowed reads).
+    jobs = []
+    for i in range(len(seqs)):
+        if overflow[i]:
+            retry.append(i)
+            continue
+        if not have[i]:
+            continue
+        jobs.append(i)
+
+    if jobs:
+        ref_f = index.ref_fwd_seq
+        ref_r = index.ref_rev_seq
+        qs, ts = [], []
+        for i in jobs:
+            qs.append(seqs[i][q_begin[i]: q_end[i] + 1])
+            src = ref_f if use_fwd[i] else ref_r
+            ts.append(src[t_begin[i]: t_end[i] + 1])
+        qa, ql = _pack_reads(qs, 1)
+        ta, tl = _pack_reads(ts, 1)
+        out = al.align_batch(
+            qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
+            cfg.match, cfg.mismatch, cfg.gap,
+            want_parents=cfg.output_cigar)
+        scores = jax.device_get(out.score)
+        goal_i = jax.device_get(out.goal_i)
+        goal_j = jax.device_get(out.goal_j)
+        parents = jax.device_get(out.parents) if cfg.output_cigar else None
+
+        for b, i in enumerate(jobs):
+            cigar = None
+            target_begin = None
+            if cfg.output_cigar:
+                cigar, target_begin = cg.traceback(
+                    parents[:, b, :], qs[b], ts[b],
+                    int(goal_i[b]), int(goal_j[b]), cfg.align_type,
+                    int(scores[b]), cfg.match, cfg.mismatch, cfg.gap,
+                    sam_convention=cfg.sam_cigar,
+                    local_target_begin_end=cfg.local_target_begin_end)
+            results[i] = ReadMapping(
+                mapped=True, is_fwd=bool(use_fwd[i]),
+                q_begin=int(q_begin[i]), q_end=int(q_end[i]),
+                t_begin=int(t_begin[i]), t_end=int(t_end[i]),
+                score=int(scores[b]), cigar=cigar, target_begin=target_begin)
+    return results, retry
+
+
+def paf_line(name: str, read_len: int, m: ReadMapping, ref_name: str,
+             ref_len: int, output_cigar: bool) -> str:
+    """Serialize one PAF row (team_mapper.cpp:685-698): 12 tab columns, DP
+    score in the residue-matches column, literal mapq 60; rev-strand target
+    coords flipped back to forward (team_mapper.cpp:689-690)."""
+    if m.is_fwd:
+        t_start_out, t_end_out = m.t_begin, m.t_end + 1
+    else:
+        t_start_out = ref_len - m.t_end - 1
+        t_end_out = ref_len - m.t_begin
+    fields = [
+        name, str(read_len), str(m.q_begin), str(m.q_end + 1),
+        "+" if m.is_fwd else "-", ref_name, str(ref_len),
+        str(t_start_out), str(t_end_out),
+        str(m.score), str(m.q_end - m.q_begin + 1), "60",
+    ]
+    if output_cigar:
+        fields.append(f"cg:Z:{m.cigar}")
+    return "\t".join(fields)
+
+
+class Mapper:
+    """Reusable mapping engine bound to one reference index."""
+
+    def __init__(self, reference_records: Sequence[Tuple[str, str]],
+                 cfg: MapperConfig, load_index: Optional[str] = None):
+        from bioinfo1_tpu.index import builder
+        self.cfg = cfg
+        # Only referenceSequence.front() is used - later records are ignored
+        # entirely (quirk #10, team_mapper.cpp:415).
+        self.ref_name, reference = reference_records[0]
+        if load_index:
+            self.index = builder.load_index(load_index)
+            self.index.ref_fwd_seq = reference
+            self.index.ref_rev_seq = rm.reverse_complement(reference)
+        else:
+            self.index = builder.build_index(
+                reference, cfg.k, cfg.w, cfg.f,
+                banned_rev_from_fwd=cfg.banned_rev_from_fwd,
+                threshold_from_rev_unique=cfg.threshold_from_rev_unique)
+        self.ref_len = len(reference)
+
+    def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
+        cfg = self.cfg
+        results: List[ReadMapping] = [None] * len(seqs)  # type: ignore
+        pending = list(range(len(seqs)))
+        budget = cfg.initial_match_budget
+        while pending:
+            buckets = _bucket_indices(
+                [len(seqs[i]) for i in pending], cfg.bucket_growth,
+                cfg.k + cfg.w - 1)
+            next_pending: List[int] = []
+            for bucket in buckets:
+                idxs = [pending[j] for j in bucket]
+                sub = [seqs[i] for i in idxs]
+                res, retry = _map_bucket(sub, self.index, cfg, budget)
+                for loc, i in enumerate(idxs):
+                    if loc in retry:
+                        next_pending.append(i)
+                    else:
+                        results[i] = res[loc]
+            pending = next_pending
+            budget *= 2
+            if budget > 1 << 24:  # safety: ~16M matches per read
+                for i in pending:
+                    results[i] = ReadMapping(mapped=False)
+                break
+        return results
+
+    def map_records(self, records: Sequence[Tuple[str, str]],
+                    per_read_stats: bool = False) -> List[str]:
+        """Map (name, seq) records to output lines in deterministic input order.
+
+        ``per_read_stats`` mirrors the -s per-read block printed inside the
+        reference's FASTA mapping loop (team_mapper.cpp:610-624): for every
+        read (mapped or not), a distinct-minimizer count and singleton
+        fraction block precedes the read's PAF line - matching the
+        single-threaded reference's interleaving on the same stream.
+        """
+        cfg = self.cfg
+        out: List[str] = []
+        for start in range(0, len(records), cfg.batch_size):
+            chunk = records[start:start + cfg.batch_size]
+            mappings = self.map_batch([seq for _, seq in chunk])
+            for (name, seq), m in zip(chunk, mappings):
+                if per_read_stats:
+                    from bioinfo1_tpu.utils import stats as st
+                    res = rm.minimize(seq, cfg.k, cfg.w)
+                    hs = np.array([h for h, _, _ in res.minimizers],
+                                  dtype=np.uint32)
+                    out.append(st.read_statistics(
+                        hs, np.ones(len(hs), dtype=bool)))
+                if m.mapped:
+                    out.append(paf_line(name, len(seq), m, self.ref_name,
+                                        self.ref_len, cfg.output_cigar))
+        return out
+
+
+def map_all(reference_records: Sequence[Tuple[str, str]],
+            read_records: Sequence[Tuple[str, str]],
+            cfg: MapperConfig) -> List[str]:
+    """One-shot convenience wrapper mirroring reference_model.map_all."""
+    return Mapper(reference_records, cfg).map_records(read_records)

@@ -197,19 +197,27 @@ def _ban_top(freqs: Dict[int, int], threshold: int,
 
 
 def build_index(reference: str, k: int, w: int, f: float,
-                banned_rev_from_fwd: bool = False) -> ReferenceIndex:
+                banned_rev_from_fwd: bool = False,
+                threshold_from_rev_unique: bool = False) -> ReferenceIndex:
     """Build forward + reverse-complement minimizer indexes with frequency ban.
 
     The threshold is ``int(f * |unique (hash,pos,strand) tuples|)`` per strand
     (team_mapper.cpp:433-434) - scaled by unique *tuple* count, not distinct
     hash count.  ``banned_rev_from_fwd=True`` replicates reference bug #1.
+
+    ``threshold_from_rev_unique=True`` replicates a further latent reference
+    bug: KMER's ``unique_minmizers`` set is a namespace-scope GLOBAL shared by
+    every instance (team_minimizers.cpp:19-22), and main() calls
+    ``ref.GetUniqueMinimizers()`` only AFTER ``ref_rev.Minimize()`` overwrote
+    it (team_mapper.cpp:417-434) - so BOTH thresholds are actually scaled by
+    the reverse strand's unique-tuple count.
     """
     fwd_res = minimize(reference, k, w, is_fwd=True)
     rc = reverse_complement(reference)
     rev_res = minimize(rc, k, w, is_fwd=False)
 
-    thr_fwd = int(f * len(fwd_res.unique))
     thr_rev = int(f * len(rev_res.unique))
+    thr_fwd = thr_rev if threshold_from_rev_unique else int(f * len(fwd_res.unique))
 
     banned_fwd = _ban_top(fwd_res.frequencies, thr_fwd)
     banned_rev = _ban_top(

@@ -16,6 +16,22 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The env var alone is NOT enough in this environment: the axon TPU plugin
+# force-registers itself and overrides JAX_PLATFORMS, silently routing every
+# op through a flaky RPC tunnel to one real chip.  The config.update call
+# (before first backend use) reliably pins the virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles
+# (~8 min cold); cached reruns take seconds.
+_CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/bioinfo1_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import pytest  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

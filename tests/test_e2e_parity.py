@@ -1,0 +1,166 @@
+"""End-to-end byte-parity tests: our CLI (--bug-compat) vs the compiled
+reference binary on bundled and randomized inputs.
+
+The oracle runs with OMP_NUM_THREADS=1 so its ``omp critical`` output is in
+deterministic input order, matching our deterministic merge.
+"""
+
+import io
+import os
+import random
+import subprocess
+
+import pytest
+
+from tests.conftest import REFERENCE_DIR, run_oracle
+
+
+def run_ours(args):
+    from bioinfo1_tpu import cli
+    out = io.StringIO()
+    err = io.StringIO()
+    rc = cli.main(args, stdout=out, stderr=err)
+    return rc, out.getvalue(), err.getvalue()
+
+
+def _write_fasta(path, records, wrap=0):
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n")
+            if wrap:
+                for i in range(0, len(seq), wrap):
+                    fh.write(seq[i:i + wrap] + "\n")
+            else:
+                fh.write(seq + "\n")
+
+
+def _write_fastq(path, records):
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+
+def _random_case(tmp_path, seed, n_reads=24, genome_len=20000,
+                 fastq=False, wrap=0):
+    rng = random.Random(seed)
+    genome = "".join(rng.choice("ACGT") for _ in range(genome_len))
+    ref_path = str(tmp_path / "ref.fasta")
+    _write_fasta(ref_path, [("refseq", genome)], wrap=wrap)
+    reads = []
+    for i in range(n_reads):
+        ln = rng.randrange(120, 1200)
+        start = rng.randrange(0, max(1, genome_len - ln))
+        frag = genome[start:start + ln]
+        # mutate ~4%
+        frag = "".join(c if rng.random() > 0.04 else rng.choice("ACGT")
+                       for c in frag)
+        if rng.random() < 0.5:
+            comp = {"A": "T", "T": "A", "G": "C", "C": "G"}
+            frag = "".join(comp.get(c, c) for c in reversed(frag))
+        reads.append((f"read{i}", frag))
+    reads_path = str(tmp_path / ("reads.fastq" if fastq else "reads.fasta"))
+    if fastq:
+        _write_fastq(reads_path, reads)
+    else:
+        _write_fasta(reads_path, reads)
+    return ref_path, reads_path
+
+
+def _normalize_stat_ties(text: str) -> str:
+    """The 'most frequent surviving minimizer' stat reports WHICH hash won a
+    frequency tie in unordered_map iteration order - unspecified in C++
+    (team_mapper.cpp:504-520); we deterministically pick the smallest hash
+    (documented delta).  Compare only the frequency value on those lines."""
+    out = []
+    for line in text.splitlines():
+        if line.startswith("Minimizer on ") and ", Value: " in line:
+            head, _, value = line.partition(", Value: ")
+            strand = "forward" if "forward" in head else "reverse"
+            line = f"<top-minimizer {strand}> Value: {value}"
+        out.append(line)
+    return "\n".join(out)
+
+
+def _compare(oracle_bin, args_common, ref_path, reads_path):
+    proc = run_oracle(oracle_bin, args_common + [ref_path, reads_path])
+    assert proc.returncode == 0, proc.stderr
+    rc, out, _ = run_ours(args_common + ["--bug-compat", ref_path, reads_path])
+    assert rc == 0
+    assert _normalize_stat_ties(out) == _normalize_stat_ties(proc.stdout)
+
+
+@pytest.mark.parametrize("mode,seed", [("global", 41), ("local", 43),
+                                       ("semiGlobal", 47)])
+def test_random_fasta_parity(tmp_path, oracle_bin, mode, seed):
+    ref_path, reads_path = _random_case(tmp_path, seed=seed)
+    _compare(oracle_bin, ["-a", mode, "-c"], ref_path, reads_path)
+
+
+def test_random_fastq_parity(tmp_path, oracle_bin):
+    ref_path, reads_path = _random_case(tmp_path, seed=7, fastq=True)
+    _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
+
+
+def test_random_small_kw_parity(tmp_path, oracle_bin):
+    ref_path, reads_path = _random_case(tmp_path, seed=11, genome_len=5000,
+                                        n_reads=16)
+    _compare(oracle_bin, ["-a", "global", "-c", "-k", "9", "-w", "3",
+                          "-f", "0.01"], ref_path, reads_path)
+
+
+def test_random_scoring_params_parity(tmp_path, oracle_bin):
+    ref_path, reads_path = _random_case(tmp_path, seed=13)
+    _compare(oracle_bin, ["-a", "local", "-c", "-m", "3", "-n", "-2",
+                          "-g", "-2"], ref_path, reads_path)
+
+
+def test_wrapped_fasta_parity(tmp_path, oracle_bin):
+    ref_path, reads_path = _random_case(tmp_path, seed=17, wrap=70)
+    _compare(oracle_bin, ["-a", "semiGlobal"], ref_path, reads_path)
+
+
+def test_bundled_micro_example_parity(tmp_path, oracle_bin):
+    ref = os.path.join(REFERENCE_DIR, "ref.fasta")
+    seqs = os.path.join(REFERENCE_DIR, "seq.fasta.txt")
+    if not (os.path.exists(ref) and os.path.exists(seqs)):
+        pytest.skip("bundled examples unavailable")
+    for f in ["0", "1"]:
+        args = ["-a", "local", "-m", "2", "-n", "-1", "-g", "2",
+                "-k", "3", "-w", "2", "-f", f, "-c"]
+        _compare(oracle_bin, args, ref, seqs)
+
+
+def test_statistics_parity(tmp_path, oracle_bin):
+    ref_path, reads_path = _random_case(tmp_path, seed=23, n_reads=6,
+                                        genome_len=4000)
+    _compare(oracle_bin, ["-s", "-k", "9", "-w", "3"], ref_path, reads_path)
+
+
+def test_statistics_fastq_crash_fixed(tmp_path, oracle_bin):
+    """-s with FASTQ reads CRASHES the reference: ``isFasta`` stays true when
+    the FASTQ parse succeeds (team_mapper.cpp:530-531 init, 547 catch), so the
+    isFasta branch calls printBasicStatisticFASTA on the FASTQ file, which
+    throws uncaught (SIGABRT).  We document the bug and verify our pipeline
+    handles the same invocation gracefully, matching the oracle's pre-crash
+    stdout prefix."""
+    ref_path, reads_path = _random_case(tmp_path, seed=29, n_reads=6,
+                                        genome_len=4000, fastq=True)
+    proc = run_oracle(oracle_bin, ["-s", ref_path, reads_path])
+    assert proc.returncode != 0  # SIGABRT in the reference
+    rc, out, _ = run_ours(["-s", "--bug-compat", ref_path, reads_path])
+    assert rc == 0
+    # Everything the oracle printed before dying must match ours, except the
+    # fragments-stats header the crashing FASTA branch emitted early.
+    prefix = proc.stdout.replace(
+        "\nBasic statistic for fragments of genome\n"
+        "------------------------------------\n", "\n")
+    assert _normalize_stat_ties(out).startswith(
+        _normalize_stat_ties(prefix.rstrip("\n")))
+
+
+def test_help_and_version_parity(oracle_bin):
+    for args in [["-h"], ["--help"], ["--version"]]:
+        proc = run_oracle(oracle_bin, args)
+        rc, out, _ = run_ours(args)
+        assert rc == proc.returncode
+        assert out == proc.stdout

@@ -2,6 +2,7 @@
 
 import random
 
+import jax
 import numpy as np
 import pytest
 
@@ -27,9 +28,9 @@ def _device_minimizers(seqs, k, w, pad_to=None):
     res = mz.minimize_batch(arr, lens, k, w)
     out = []
     for i in range(len(seqs)):
-        v = np.asarray(res.valid[i])
-        h = np.asarray(res.hashes[i])[v]
-        p = np.asarray(res.pos[i])[v]
+        v = jax.device_get(res.valid[i])
+        h = jax.device_get(res.hashes[i])[v]
+        p = jax.device_get(res.pos[i])[v]
         out.append([(int(hh), int(pp), True) for hh, pp in zip(h, p)])
     return res, out
 
@@ -71,10 +72,10 @@ def test_dedup_keep_is_order_preserving_first_occurrence():
     seqs = ["".join(rng.choice("ACGT") for _ in range(200)) for _ in range(4)]
     res, _ = _device_minimizers(seqs, 5, 5)
     for i, s in enumerate(seqs):
-        v = np.asarray(res.valid[i])
-        keep = np.asarray(res.dedup_keep[i])
-        h = np.asarray(res.hashes[i])
-        p = np.asarray(res.pos[i])
+        v = jax.device_get(res.valid[i])
+        keep = jax.device_get(res.dedup_keep[i])
+        h = jax.device_get(res.hashes[i])
+        p = jax.device_get(res.pos[i])
         got = [(int(h[t]), int(p[t]), True) for t in range(len(v)) if keep[t]]
         want = rm.remove_duplicates(rm.minimize(s, 5, 5).minimizers)
         assert got == want
@@ -88,7 +89,7 @@ def test_window_frequencies_match_spec():
     res = mz.minimize_batch(arr, lens, 5, 5)
     spec = rm.minimize(s, 5, 5)
     uniq = np.array(sorted(spec.frequencies.keys()), dtype=np.uint32)
-    counts = np.asarray(mz.window_frequencies(res.hashes, res.valid, uniq))
+    counts = jax.device_get(mz.window_frequencies(res.hashes, res.valid, uniq))
     for hsh, cnt in zip(uniq, counts):
         assert spec.frequencies[int(hsh)] == int(cnt)
 
@@ -96,6 +97,6 @@ def test_window_frequencies_match_spec():
 def test_invalid_slots_are_sentinels():
     arr, lens = _pack(["ACGTACG", "AC"], pad_to=32)
     res = mz.minimize_batch(arr, lens, 3, 3)
-    v = np.asarray(res.valid)
+    v = jax.device_get(res.valid)
     assert not v[1].any()  # length 2 < k: nothing emitted
-    assert (np.asarray(res.hashes)[~v] == INVALID_HASH).all()
+    assert (jax.device_get(res.hashes)[~v] == INVALID_HASH).all()
