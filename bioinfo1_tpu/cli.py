@@ -130,6 +130,7 @@ def main(argv: Optional[List[str]] = None,
             cfg.fasta_match_nesting = True
             cfg.local_target_begin_end = True
             cfg.threshold_from_rev_unique = True
+            cfg.exact_ties = True
         elif a == "--save-index" and i + 1 < len(argv):
             i += 1; save_index = argv[i]
         elif a == "--load-index" and i + 1 < len(argv):

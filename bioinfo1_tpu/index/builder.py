@@ -94,8 +94,10 @@ def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int):
         z = np.zeros((0,), dtype=np.uint32)
         return z, z.astype(np.int32)
 
-    out_h: list = []
-    out_p: list = []
+    pre_h: list = []
+    pre_p: list = []
+    suf_h: list = []
+    suf_p: list = []
 
     # End-windows (fixed semantics: prefix clamps to valid k-mers instead of
     # the reference's out-of-bounds read; suffix guarded by L >= k + s - 1).
@@ -107,46 +109,64 @@ def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int):
             hi = min(s, len(head))
             if hi > 0:
                 j = int(np.argmin(head[:hi]))
-                out_h.append(np.uint32(head[j])); out_p.append(np.int32(j + 1))
+                pre_h.append(np.uint32(head[j])); pre_p.append(np.int32(j + 1))
             if nk >= s:
                 window = tail[len(tail) - s:]
                 j = int(np.argmin(window))
-                out_p.append(np.int32(nk - s + j + 1))
-                out_h.append(np.uint32(window[j]))
-
-    ends_h = np.array(out_h, dtype=np.uint32)
-    ends_p = np.array(out_p, dtype=np.int32)
+                suf_p.append(np.int32(nk - s + j + 1))
+                suf_h.append(np.uint32(window[j]))
 
     nd = nk - w + 1
-    if nd <= 0:
-        return ends_h, ends_p
+    if nd > 0:
+        # Dense windows, tiled.  Tile t covers window starts [t*T, t*T + T)
+        # and needs bases [t*T, t*T + T + w + k - 2).
+        T = TILE_WINDOWS
+        in_len = T + w + k - 2
+        n_tiles = -(-nd // T)
+        b_pad = 1
+        while b_pad < n_tiles:
+            b_pad *= 2
+        tiles = np.zeros((b_pad, in_len), dtype=np.uint8)
+        for t in range(n_tiles):
+            chunk = seq_bytes[t * T: t * T + in_len]
+            tiles[t, : len(chunk)] = chunk
+        th, tp = jax.device_get(mz.dense_window_min_batch(tiles, k, w))
+        th = th[:n_tiles].reshape(-1)[:nd].astype(np.uint32)
+        tp = (tp[:n_tiles] + (np.arange(n_tiles, dtype=np.int32) * T)[:, None])
+        tp = tp.reshape(-1)[:nd].astype(np.int32)
+    else:
+        th = np.zeros((0,), dtype=np.uint32)
+        tp = np.zeros((0,), dtype=np.int32)
 
-    # Dense windows, tiled.  Tile t covers window starts [t*T, t*T + T) and
-    # needs bases [t*T, t*T + T + w + k - 2).
-    T = TILE_WINDOWS
-    in_len = T + w + k - 2
-    n_tiles = -(-nd // T)
-    b_pad = 1
-    while b_pad < n_tiles:
-        b_pad *= 2
-    tiles = np.zeros((b_pad, in_len), dtype=np.uint8)
-    for t in range(n_tiles):
-        chunk = seq_bytes[t * T: t * T + in_len]
-        tiles[t, : len(chunk)] = chunk
-    th, tp = jax.device_get(mz.dense_window_min_batch(tiles, k, w))
-    th = th[:n_tiles].reshape(-1)[:nd]
-    tp = (tp[:n_tiles] + (np.arange(n_tiles, dtype=np.int32) * T)[:, None])
-    tp = tp.reshape(-1)[:nd]
-
-    return (np.concatenate([ends_h, th.astype(np.uint32)]),
-            np.concatenate([ends_p, tp.astype(np.int32)]))
+    # Reference EMIT order - prefix windows, dense windows, suffix windows
+    # (team_minimizers.cpp:146-222).  Load-bearing only for the bug-compat
+    # banned set, whose unordered_map iteration order depends on insertion
+    # order; the index itself sorts.
+    return (np.concatenate([np.array(pre_h, dtype=np.uint32), th,
+                            np.array(suf_h, dtype=np.uint32)]),
+            np.concatenate([np.array(pre_p, dtype=np.int32), tp,
+                            np.array(suf_p, dtype=np.int32)]))
 
 
 def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
-                  ban_from: Optional[np.ndarray] = None,
+                  ban_order: Optional[np.ndarray] = None,
                   ban_count_limit: Optional[int] = None,
-                  unique_override: Optional[int] = None) -> StrandIndexArrays:
-    """Sort, dedup, count window wins, ban top-f, and pack one strand."""
+                  unique_override: Optional[int] = None,
+                  exact_orders=None) -> StrandIndexArrays:
+    """Sort, dedup, count window wins, ban top-f, and pack one strand.
+
+    ``hashes``/``pos`` are the strand's window-win stream in the reference's
+    EMIT order (duplicates included).  Banning takes the top
+    ``min(int(f * unique), limit)`` hashes of a count-descending ranking:
+
+      * fixed semantics (default): deterministic (count desc, hash asc),
+      * ``exact_orders`` = this strand's (iter_hash, iter_count, sorted_hash)
+        from native.freq_orders2: the libstdc++ unordered_map iteration +
+        unstable std::sort orders - the only way to reproduce the
+        reference's tie choices byte-for-byte,
+      * ``ban_order`` overrides the ranking entirely (reference bug #1 draws
+        the rev banned set from the FWD ranking, team_mapper.cpp:469).
+    """
     order = np.lexsort((pos, hashes))
     hs, ps = hashes[order], pos[order]
     # Unique (hash, pos) tuples = C++ unique_minmizers set (strand constant).
@@ -161,15 +181,19 @@ def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
     n_distinct = len(distinct)
     n_singleton = int((freq == 1).sum())
 
+    iter_hash = iter_count = None
+    if exact_orders is not None:
+        iter_hash, iter_count, rank_order = exact_orders
+
     threshold = int(f * (n_unique if unique_override is None else unique_override))
-    count = max(0, min(threshold, n_distinct))
-    if ban_count_limit is not None:
-        count = max(0, min(threshold, ban_count_limit))
-    rank_distinct, rank_freq = distinct, freq
-    if ban_from is not None:
-        rank_distinct, rank_freq = ban_from
-    rank = np.lexsort((rank_distinct, -rank_freq.astype(np.int64)))
-    banned = np.sort(rank_distinct[rank[:count]].astype(np.uint32))
+    if ban_order is not None:
+        rank_order = ban_order
+    elif exact_orders is None:
+        rank = np.lexsort((distinct, -freq.astype(np.int64)))
+        rank_order = distinct[rank]
+    limit = n_distinct if ban_count_limit is None else ban_count_limit
+    count = max(0, min(threshold, limit))
+    banned = np.sort(rank_order[:count].astype(np.uint32))
 
     keep = ~np.isin(uh, banned, assume_unique=False)
     fh, fp = uh[keep].astype(np.uint32), up[keep].astype(np.int32)
@@ -179,17 +203,20 @@ def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
         _, bucket_counts = np.unique(fh, return_counts=True)
         max_bucket = int(bucket_counts.max())
 
-    # Most frequent surviving minimizer (team_mapper.cpp:504-520 statistics).
+    # Most frequent surviving minimizer (team_mapper.cpp:504-520 statistics):
+    # a strict '>' scan of the histogram, so ties go to the FIRST hash in
+    # map iteration order (exact_ties) or to the smallest hash (fixed).
     top = None
-    surviving = ~np.isin(distinct, banned)
+    if iter_hash is not None:
+        scan_h, scan_c = iter_hash, iter_count
+    else:
+        o = np.argsort(distinct)
+        scan_h, scan_c = distinct[o], freq[o]
+    surviving = ~np.isin(scan_h, banned)
     if surviving.any():
-        sfreq = np.where(surviving, freq, -1)
-        i = int(np.argmax(sfreq))
-        # The C++ scans an unordered_map with strict '>' - tie order is
-        # unspecified there; we pick the smallest hash among ties.
-        best = int(sfreq[i])
-        ties = distinct[(sfreq == best) & surviving]
-        top = (int(ties.min()), best)
+        sfreq = np.where(surviving, scan_c, np.iinfo(np.int64).min)
+        i = int(np.argmax(sfreq))  # first strictly-greater max in scan order
+        top = (int(scan_h[i]), int(scan_c[i]))
 
     return StrandIndexArrays(
         hash_sorted=fh, pos_sorted=fp, n_unique_tuples=n_unique,
@@ -199,11 +226,13 @@ def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
 
 def build_index(reference: str, k: int, w: int, f: float,
                 banned_rev_from_fwd: bool = False,
-                threshold_from_rev_unique: bool = False) -> IndexArrays:
+                threshold_from_rev_unique: bool = False,
+                exact_ties: bool = False) -> IndexArrays:
     """``threshold_from_rev_unique`` replicates the shared-global quirk where
     both strands' ban thresholds scale with the REV unique-tuple count (see
     reference_model.build_index docstring; team_mapper.cpp:433-434 +
-    team_minimizers.cpp:19-22)."""
+    team_minimizers.cpp:19-22).  ``exact_ties`` reproduces the reference's
+    unordered_map/std::sort tie choices via the native helper."""
     ref_bytes = np.frombuffer(reference.encode("latin1"), dtype=np.uint8)
     fwd_h, fwd_p = _strand_sweep(ref_bytes, k, w)
     rc = rm.reverse_complement(reference)
@@ -219,17 +248,31 @@ def build_index(reference: str, k: int, w: int, f: float,
             new_t[1:] = (rh2[1:] != rh2[:-1]) | (rp2[1:] != rp2[:-1])
         unique_override = int(new_t.sum())
 
-    fwd = _build_strand(fwd_h, fwd_p, f, unique_override=unique_override)
+    fwd_orders = rev_orders = None
+    if exact_ties:
+        from bioinfo1_tpu import native
+        res = native.freq_orders2(fwd_h, rev_h)
+        if res is not None:
+            fwd_orders, rev_orders = res
+
+    fwd = _build_strand(fwd_h, fwd_p, f, unique_override=unique_override,
+                        exact_orders=fwd_orders)
     if banned_rev_from_fwd:
         # Reference bug #1: rev banned hashes drawn from the fwd ranking,
         # loop bound still min(threshold_rev, |rev distinct|).
-        fwd_distinct, fwd_freq = np.unique(fwd_h, return_counts=True)
+        if fwd_orders is not None:
+            fwd_rank = fwd_orders[2]
+        else:
+            fwd_distinct, fwd_freq = np.unique(fwd_h, return_counts=True)
+            rank = np.lexsort((fwd_distinct, -fwd_freq.astype(np.int64)))
+            fwd_rank = fwd_distinct[rank]
         rev_distinct_count = len(np.unique(rev_h))
         rev = _build_strand(rev_h, rev_p, f,
-                            ban_from=(fwd_distinct, fwd_freq),
-                            ban_count_limit=rev_distinct_count)
+                            ban_order=fwd_rank,
+                            ban_count_limit=rev_distinct_count,
+                            exact_orders=rev_orders)
     else:
-        rev = _build_strand(rev_h, rev_p, f)
+        rev = _build_strand(rev_h, rev_p, f, exact_orders=rev_orders)
 
     return IndexArrays(fwd=fwd, rev=rev, ref_len=len(reference), k=k, w=w,
                        ref_fwd_seq=reference, ref_rev_seq=rc)

@@ -1,0 +1,94 @@
+"""ctypes bindings for the native host runtime (build/libbioinfo1_native.so).
+
+The reference is pure C++; our host-side glue (bug-compat oracles, later the
+FASTA/FASTQ packer and PAF serializer) is C++ too, bound with ctypes (the
+image ships no pybind11).  The library is built lazily via
+tools/build_native.sh; everything degrades gracefully to Python fallbacks
+when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIB_PATH = os.path.join(_REPO, "build", "libbioinfo1_native.so")
+_BUILD_SCRIPT = os.path.join(_REPO, "tools", "build_native.sh")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None on failure."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    try:
+        if not os.path.exists(_LIB_PATH) and os.path.exists(_BUILD_SCRIPT):
+            subprocess.run([_BUILD_SCRIPT], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.bioinfo1_freq_orders2.restype = ctypes.c_int64
+        lib.bioinfo1_freq_orders2.argtypes = [
+            u32p, ctypes.c_int64, u32p, ctypes.c_int64,
+            u32p, i32p, u32p, ctypes.c_int64,
+            u32p, i32p, u32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+    except (OSError, subprocess.CalledProcessError):
+        _lib = None
+    return _lib
+
+
+#: Per-strand histogram orderings: (iter_hash, iter_count, sorted_hash).
+StrandOrders = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def freq_orders2(fwd_hashes: np.ndarray, rev_hashes: np.ndarray,
+                 ) -> Optional[Tuple[StrandOrders, StrandOrders]]:
+    """Replicate the reference's histogram orderings for BOTH strands.
+
+    The streams must be in the reference's Minimize() emit order (prefix,
+    dense, suffix windows).  Returns per-strand (iter_hash, iter_count,
+    sorted_hash): the libstdc++ map-copy iteration order (drives the stats
+    scan) and the post-std::sort count-descending hash order (the banned set
+    is its first min(threshold, limit) entries) - or None when the native
+    library is unavailable.  The strands share one stateful map exactly like
+    the reference's namespace-scope global (see native/bugcompat.cpp).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fh = np.ascontiguousarray(fwd_hashes, dtype=np.uint32)
+    rh = np.ascontiguousarray(rev_hashes, dtype=np.uint32)
+    fcap = max(len(fh), 1)
+    rcap = max(len(rh), 1)
+    f_iter = np.empty(fcap, dtype=np.uint32)
+    f_cnt = np.empty(fcap, dtype=np.int32)
+    f_sort = np.empty(fcap, dtype=np.uint32)
+    r_iter = np.empty(rcap, dtype=np.uint32)
+    r_cnt = np.empty(rcap, dtype=np.int32)
+    r_sort = np.empty(rcap, dtype=np.uint32)
+    rev_m = ctypes.c_int64(0)
+    n = lib.bioinfo1_freq_orders2(
+        fh.ctypes.data_as(u32p), len(fh), rh.ctypes.data_as(u32p), len(rh),
+        f_iter.ctypes.data_as(u32p), f_cnt.ctypes.data_as(i32p),
+        f_sort.ctypes.data_as(u32p), fcap,
+        r_iter.ctypes.data_as(u32p), r_cnt.ctypes.data_as(i32p),
+        r_sort.ctypes.data_as(u32p), rcap, ctypes.byref(rev_m))
+    if n < 0:
+        return None
+    m = rev_m.value
+    return ((f_iter[:n], f_cnt[:n], f_sort[:n]),
+            (r_iter[:m], r_cnt[:m], r_sort[:m]))

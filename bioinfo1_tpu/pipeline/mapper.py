@@ -54,6 +54,7 @@ class MapperConfig:
     fasta_match_nesting: bool = False
     local_target_begin_end: bool = False
     threshold_from_rev_unique: bool = False
+    exact_ties: bool = False
     # batching knobs
     batch_size: int = 512
     initial_match_budget: int = 512
@@ -261,7 +262,8 @@ class Mapper:
             self.index = builder.build_index(
                 reference, cfg.k, cfg.w, cfg.f,
                 banned_rev_from_fwd=cfg.banned_rev_from_fwd,
-                threshold_from_rev_unique=cfg.threshold_from_rev_unique)
+                threshold_from_rev_unique=cfg.threshold_from_rev_unique,
+                exact_ties=cfg.exact_ties)
         self.ref_len = len(reference)
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:

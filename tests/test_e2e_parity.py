@@ -86,12 +86,17 @@ def _compare(oracle_bin, args_common, ref_path, reads_path):
     assert proc.returncode == 0, proc.stderr
     rc, out, _ = run_ours(args_common + ["--bug-compat", ref_path, reads_path])
     assert rc == 0
-    assert _normalize_stat_ties(out) == _normalize_stat_ties(proc.stdout)
+    # Full byte parity: --bug-compat's exact_ties mode reproduces even the
+    # unordered_map/std::sort tie choices via the native helper.
+    assert out == proc.stdout
 
 
-@pytest.mark.parametrize("mode,seed", [("global", 41), ("local", 43),
-                                       ("semiGlobal", 47)])
+@pytest.mark.parametrize("mode,seed", [("global", 41), ("global", 53),
+                                       ("local", 43), ("local", 59),
+                                       ("semiGlobal", 47), ("semiGlobal", 61)])
 def test_random_fasta_parity(tmp_path, oracle_bin, mode, seed):
+    # Seed 41 regression-tests the banned-set tie boundary: a chain-leading
+    # minimizer hash sits exactly at the f-threshold cutoff among count ties.
     ref_path, reads_path = _random_case(tmp_path, seed=seed)
     _compare(oracle_bin, ["-a", mode, "-c"], ref_path, reads_path)
 
