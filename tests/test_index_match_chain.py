@@ -78,13 +78,12 @@ def test_matches_and_chain_vs_spec(seed):
     arr, lens = _pack(reads, k, w)
     mres = mz.minimize_batch(arr, lens, k, w)
 
-    max_hits = max(idx.fwd.max_bucket, idx.rev.max_bucket, 1)
     got_f = match_ops.find_matches(
         mres.hashes, mres.pos, mres.dedup_keep,
-        idx.fwd.hash_sorted, idx.fwd.pos_sorted, max_hits, 2048)
+        idx.fwd.hash_sorted, idx.fwd.pos_sorted, 2048)
     got_r = match_ops.find_matches(
         mres.hashes, mres.pos, mres.dedup_keep,
-        idx.rev.hash_sorted, idx.rev.pos_sorted, max_hits, 2048)
+        idx.rev.hash_sorted, idx.rev.pos_sorted, 2048)
     chain_f = chain_ops.lis_chain(got_f.f_pos, got_f.r_pos, got_f.count)
     chain_r = chain_ops.lis_chain(got_r.f_pos, got_r.r_pos, got_r.count)
 
@@ -119,8 +118,7 @@ def test_match_overflow_flag():
     mres = mz.minimize_batch(arr, lens, k, w)
     res = match_ops.find_matches(
         mres.hashes, mres.pos, mres.dedup_keep,
-        idx.fwd.hash_sorted, idx.fwd.pos_sorted,
-        max(idx.fwd.max_bucket, 1), 16)
+        idx.fwd.hash_sorted, idx.fwd.pos_sorted, 16)
     assert bool(res.overflow[0])
     assert int(res.count[0]) == 16
 
