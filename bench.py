@@ -150,11 +150,13 @@ def measure_baseline(genome, reads):
     return rps
 
 
-def main():
+def run_measurement():
+    """Child-process entry: measure and print the JSON line."""
     genome, reads, lens = make_data()
     ours, mapped, t_index, gcups = measure_ours(genome, reads, lens)
     base = measure_baseline(genome, reads)
     vs = (ours / base) if base else None
+    import jax
     print(json.dumps({
         "metric": "reads_per_s_4kb_ecoli",
         "value": round(ours, 2),
@@ -163,8 +165,39 @@ def main():
         "extra": {"mapped": mapped, "n_reads": N_READS,
                   "index_build_s": round(t_index, 2),
                   "gcups": round(gcups, 3),
+                  "platform": jax.default_backend(),
                   "baseline_reads_per_s": round(base, 3) if base else None},
-    }))
+    }), flush=True)
+
+
+def main():
+    """Watchdog wrapper: the TPU RPC tunnel in this environment can hang
+    indefinitely mid-transfer, so the measurement runs in a subprocess with
+    a deadline; on a hang/failure it reruns pinned to the CPU backend so the
+    driver always receives a result line (tagged with its platform)."""
+    if os.environ.get("BIOINFO1_BENCH_CHILD"):
+        run_measurement()
+        return
+    budget_s = int(os.environ.get("BIOINFO1_BENCH_TIMEOUT", "900"))
+    for attempt_env in (None, "cpu"):
+        env = dict(os.environ, BIOINFO1_BENCH_CHILD="1")
+        if attempt_env:
+            env["BIOINFO1_PLATFORM"] = attempt_env
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=budget_s)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    return
+        except subprocess.TimeoutExpired:
+            pass
+        budget_s = max(budget_s, 1200)  # CPU retry pays fresh compiles
+    print(json.dumps({"metric": "reads_per_s_4kb_ecoli", "value": 0,
+                      "unit": "reads/s", "vs_baseline": None,
+                      "extra": {"error": "all backends timed out"}}),
+          flush=True)
 
 
 if __name__ == "__main__":
