@@ -44,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(mode, n1, m_len, q_ref, ql_ref, t_ref, tl_ref, prm_ref,
             score_ref, gi_ref, gj_ref,
-            h2_s, h1_s, tdiag_s):
+            h2_s, h1_s, tdiag_s, tchunk_s):
     """One batch tile: full wavefront sweep d = 2 .. n1-1 + m_len."""
     match = prm_ref[0, 0]
     mismatch = prm_ref[0, 1]
@@ -68,12 +68,26 @@ def _kernel(mode, n1, m_len, q_ref, ql_ref, t_ref, tl_ref, prm_ref,
     # carry: score, (local best cost,i,j), (semi col cost,i), (semi row cost,j)
     carry0 = (zero, neg, zero, zero, zero, zero, zero, zero)
 
+    lanes128 = jax.lax.broadcasted_iota(jnp.int32, (_BT, 128), 1)
+
     def step(d, carry):
         score, bc, bi, bj, cc, ci, rc, rj = carry
         # tdiag[i] = t[d-1-i]: shift lanes right, inject t[d-1] at lane 0.
+        # Mosaic only allows 128-aligned dynamic lane loads, so t streams
+        # through a 128-lane staging chunk refreshed every 128 steps; the
+        # in-chunk byte is picked by masked reduction.
+        pos = jnp.clip(d - 1, 0, m_len - 1)
+        off = jax.lax.rem(pos, 128)
+        base = pl.multiple_of(pos - off, 128)
+
+        @pl.when(jnp.logical_or(off == 0, d == 2))
+        def _():
+            tchunk_s[...] = t_ref[:, pl.ds(base, 128)]
+
+        tnew = jnp.sum(
+            jnp.where(lanes128 == off, tchunk_s[...].astype(jnp.int32), 0),
+            axis=1, keepdims=True)
         tprev = tdiag_s[...]
-        tnew = t_ref[:, pl.ds(jnp.clip(d - 1, 0, m_len - 1), 1)].astype(
-            jnp.int32)
         tdiag = jnp.where(
             lanes == 0, tnew, pltpu.roll(tprev, shift=1, axis=1))
         tdiag_s[...] = tdiag
@@ -199,6 +213,7 @@ def align_scores(q_bytes: jax.Array, q_lens: jax.Array,
             pltpu.VMEM((_BT, n1_pad), jnp.int32),
             pltpu.VMEM((_BT, n1_pad), jnp.int32),
             pltpu.VMEM((_BT, n1_pad), jnp.int32),
+            pltpu.VMEM((_BT, 128), jnp.uint8),
         ],
         interpret=interpret,
     )(q_sh, ql, t_p, tl, prm)

@@ -140,8 +140,13 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                                    index.fwd_hash, index.fwd_pos, budget)
     got_r = match_ops.find_matches(mres.hashes, mres.pos, mres.dedup_keep,
                                    index.rev_hash, index.rev_pos, budget)
-    cf = chain_ops.lis_chain(got_f.f_pos, got_f.r_pos, got_f.count)
-    cr = chain_ops.lis_chain(got_r.f_pos, got_r.r_pos, got_r.count)
+    if use_pallas:
+        from bioinfo1_tpu.ops import pallas_chain
+        chain_fn = pallas_chain.lis_chain
+    else:
+        chain_fn = chain_ops.lis_chain
+    cf = chain_fn(got_f.f_pos, got_f.r_pos, got_f.count)
+    cr = chain_fn(got_r.f_pos, got_r.r_pos, got_r.count)
 
     use_fwd = cf.length >= cr.length          # ties forward (quirk #8)
     mapped = jnp.where(use_fwd, cf.length, cr.length) > 0

@@ -112,3 +112,22 @@ def test_match_budget_overflow_flag(problem):
     out = jax.device_get(out)
     assert out.overflow.any()
     assert not out.mapped[out.overflow].any()
+
+
+def test_map_step_pallas_path(problem):
+    """use_pallas=True path under the Pallas interpreter on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    genome, index, didx, reads, arr, lens = problem
+    want = dm.map_step(jnp.asarray(arr), jnp.asarray(lens), didx,
+                       jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                       k=K, w=W, mode=0, budget=1024, region_cap=1024)
+    with pltpu.force_tpu_interpret_mode():
+        got = dm.map_step(jnp.asarray(arr), jnp.asarray(lens), didx,
+                          jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                          k=K, w=W, mode=0, budget=1024, region_cap=1024,
+                          use_pallas=True)
+    for field in ("mapped", "is_fwd", "q_begin", "q_end", "t_begin",
+                  "t_end", "score"):
+        np.testing.assert_array_equal(
+            jax.device_get(getattr(want, field)),
+            jax.device_get(getattr(got, field)), err_msg=field)
