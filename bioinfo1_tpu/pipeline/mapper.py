@@ -260,13 +260,65 @@ class Mapper:
                 threshold_from_rev_unique=cfg.threshold_from_rev_unique,
                 exact_ties=cfg.exact_ties)
         self.ref_len = len(reference)
+        self._device_index = None
+
+    # The fused single-jit device step (pipeline/device_map.py) serves the
+    # score-only path; CIGARs (-c) and the FASTA match-nesting bug-compat
+    # gate stage through the host pipeline instead.
+    def _fast_path_ok(self) -> bool:
+        return not self.cfg.output_cigar and not self.cfg.fasta_match_nesting
+
+    def _get_device_index(self):
+        if self._device_index is None:
+            from bioinfo1_tpu.pipeline import device_map as dm
+            self._device_index = dm.device_index_from_host(self.index)
+        return self._device_index
+
+    def _map_bucket_fused(self, seqs: Sequence[str],
+                          budget: int) -> Tuple[List[ReadMapping], List[int]]:
+        import jax.numpy as jnp
+        from bioinfo1_tpu.pipeline import device_map as dm
+        from bioinfo1_tpu.ops.align import MODE_BY_NAME
+        cfg = self.cfg
+        didx = self._get_device_index()
+        arr, lens = _pack_reads(seqs, cfg.k + cfg.w - 1)
+        region_cap = _pow2_at_least(2 * arr.shape[1], 128)
+        use_pallas = jax.default_backend() == "tpu"
+        out = jax.device_get(dm.map_step(
+            jnp.asarray(arr), jnp.asarray(lens), didx,
+            jnp.int32(cfg.match), jnp.int32(cfg.mismatch), jnp.int32(cfg.gap),
+            k=cfg.k, w=cfg.w, mode=MODE_BY_NAME[cfg.align_type],
+            budget=budget, region_cap=region_cap, use_pallas=use_pallas))
+        results: List[ReadMapping] = []
+        retry: List[int] = []
+        for i in range(len(seqs)):
+            if out.overflow[i]:
+                results.append(ReadMapping(mapped=False))
+                retry.append(i)
+            elif not out.mapped[i]:
+                results.append(ReadMapping(mapped=False))
+            else:
+                results.append(ReadMapping(
+                    mapped=True, is_fwd=bool(out.is_fwd[i]),
+                    q_begin=int(out.q_begin[i]), q_end=int(out.q_end[i]),
+                    t_begin=int(out.t_begin[i]), t_end=int(out.t_end[i]),
+                    score=int(out.score[i])))
+        return results, retry
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
         cfg = self.cfg
+        fused = self._fast_path_ok()
         results: List[ReadMapping] = [None] * len(seqs)  # type: ignore
         pending = list(range(len(seqs)))
         budget = cfg.initial_match_budget
+        attempts = 0
         while pending:
+            # Regions longer than the fused step's cap (chains spanning far
+            # more target than query) never resolve by budget doubling;
+            # after two fused rounds the stragglers take the host path.
+            if attempts >= 2:
+                fused = False
+            attempts += 1
             buckets = _bucket_indices(
                 [len(seqs[i]) for i in pending], cfg.bucket_growth,
                 cfg.k + cfg.w - 1)
@@ -274,7 +326,10 @@ class Mapper:
             for bucket in buckets:
                 idxs = [pending[j] for j in bucket]
                 sub = [seqs[i] for i in idxs]
-                res, retry = _map_bucket(sub, self.index, cfg, budget)
+                if fused:
+                    res, retry = self._map_bucket_fused(sub, budget)
+                else:
+                    res, retry = _map_bucket(sub, self.index, cfg, budget)
                 for loc, i in enumerate(idxs):
                     if loc in retry:
                         next_pending.append(i)
