@@ -9,8 +9,11 @@ Extensions (not in the reference; all opt-in, prefixed ``--``):
                    swapped I/D convention (team_alignment.cpp:128-137)
   --bug-compat     replicate the reference's bugs exactly (SURVEY.md 2.3 #11)
   --save-index P / --load-index P   persist / reuse the packed index
+  -o FILE          write PAF rows to FILE instead of stdout
+  --resume         with -o: continue an interrupted run - skips the reads
+                   already recorded in FILE.progress and appends (the
+                   reference always restarts from scratch)
   --batch-size N   reads per device batch
-  --threads ignored (device batching replaces OpenMP)
 """
 
 from __future__ import annotations
@@ -80,6 +83,8 @@ def main(argv: Optional[List[str]] = None,
     file1 = file2 = ""
     statistic = False
     save_index = load_index = None
+    out_path = None
+    resume = False
 
     if not argv:
         print("Error: Not enough arguments", file=err)
@@ -135,6 +140,10 @@ def main(argv: Optional[List[str]] = None,
             i += 1; save_index = argv[i]
         elif a == "--load-index" and i + 1 < len(argv):
             i += 1; load_index = argv[i]
+        elif a == "-o" and i + 1 < len(argv):
+            i += 1; out_path = argv[i]
+        elif a == "--resume":
+            resume = True
         elif a == "--batch-size" and i + 1 < len(argv):
             i += 1; cfg.batch_size = max(1, _atoi(argv[i]))
         elif not file1:
@@ -201,9 +210,32 @@ def main(argv: Optional[List[str]] = None,
     # Per-read stats only exist in the reference's FASTA branch
     # (team_mapper.cpp:610-624); the FASTQ loop has none.
     per_read_stats = statistic and not reads.is_fastq
-    for line in mapper.map_records(reads.records,
-                                   per_read_stats=per_read_stats):
-        print(line, file=out)
+    if out_path is None:
+        for line in mapper.map_records(reads.records,
+                                       per_read_stats=per_read_stats):
+            print(line, file=out)
+        return 0
+
+    # Checkpointed file output: FILE.progress records the number of fully
+    # processed reads; --resume appends from there after a crash/restart.
+    import json as _json
+    progress_path = out_path + ".progress"
+    start_at = 0
+    file_mode = "w"
+    if resume and os.path.exists(progress_path) and os.path.exists(out_path):
+        with open(progress_path) as fh:
+            start_at = int(_json.load(fh).get("completed_reads", 0))
+        file_mode = "a"
+    with open(out_path, file_mode) as paf_out:
+        for done, lines in mapper.map_records_iter(
+                reads.records, per_read_stats=per_read_stats,
+                start_at=start_at):
+            for line in lines:
+                print(line, file=paf_out)
+            paf_out.flush()
+            with open(progress_path, "w") as fh:
+                _json.dump({"completed_reads": done,
+                            "total_reads": len(reads.records)}, fh)
     return 0
 
 

@@ -343,6 +343,32 @@ class Mapper:
                 break
         return results
 
+    def map_records_iter(self, records: Sequence[Tuple[str, str]],
+                         per_read_stats: bool = False, start_at: int = 0):
+        """Yield (next_record_index, lines) per batch in input order.
+
+        ``start_at`` skips already-processed records (checkpoint/resume;
+        the reference has no such facility - it restarts from scratch,
+        SURVEY.md section 5).
+        """
+        cfg = self.cfg
+        for start in range(start_at, len(records), cfg.batch_size):
+            chunk = records[start:start + cfg.batch_size]
+            mappings = self.map_batch([seq for _, seq in chunk])
+            lines: List[str] = []
+            for (name, seq), m in zip(chunk, mappings):
+                if per_read_stats:
+                    from bioinfo1_tpu.utils import stats as st
+                    res = rm.minimize(seq, cfg.k, cfg.w)
+                    hs = np.array([h for h, _, _ in res.minimizers],
+                                  dtype=np.uint32)
+                    lines.append(st.read_statistics(
+                        hs, np.ones(len(hs), dtype=bool)))
+                if m.mapped:
+                    lines.append(paf_line(name, len(seq), m, self.ref_name,
+                                          self.ref_len, cfg.output_cigar))
+            yield start + len(chunk), lines
+
     def map_records(self, records: Sequence[Tuple[str, str]],
                     per_read_stats: bool = False) -> List[str]:
         """Map (name, seq) records to output lines in deterministic input order.
@@ -353,22 +379,9 @@ class Mapper:
         fraction block precedes the read's PAF line - matching the
         single-threaded reference's interleaving on the same stream.
         """
-        cfg = self.cfg
         out: List[str] = []
-        for start in range(0, len(records), cfg.batch_size):
-            chunk = records[start:start + cfg.batch_size]
-            mappings = self.map_batch([seq for _, seq in chunk])
-            for (name, seq), m in zip(chunk, mappings):
-                if per_read_stats:
-                    from bioinfo1_tpu.utils import stats as st
-                    res = rm.minimize(seq, cfg.k, cfg.w)
-                    hs = np.array([h for h, _, _ in res.minimizers],
-                                  dtype=np.uint32)
-                    out.append(st.read_statistics(
-                        hs, np.ones(len(hs), dtype=bool)))
-                if m.mapped:
-                    out.append(paf_line(name, len(seq), m, self.ref_name,
-                                        self.ref_len, cfg.output_cigar))
+        for _, lines in self.map_records_iter(records, per_read_stats):
+            out.extend(lines)
         return out
 
 

@@ -1,0 +1,91 @@
+"""CLI extensions: -o file output, --resume checkpointing, index save/load,
+gzip ingestion."""
+
+import gzip
+import io
+import json
+import os
+
+from bioinfo1_tpu import cli
+from bioinfo1_tpu.io import fastx
+
+
+def run_ours(args):
+    out = io.StringIO()
+    err = io.StringIO()
+    rc = cli.main(args, stdout=out, stderr=err)
+    return rc, out.getvalue(), err.getvalue()
+
+
+def _write_inputs(tmp_path):
+    ref = tmp_path / "ref.fasta"
+    reads = tmp_path / "reads.fasta"
+    genome = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    ref.write_text(f">ref\n{genome}\n")
+    reads.write_text(">r1\nACGTACGTACGTACGTACGTACGT\n"
+                     ">r2\nGTACGTACGTACGTACGTACG\n"
+                     ">r3\nCGTACGTACGTACGTACGTAC\n")
+    return str(ref), str(reads)
+
+
+def test_output_file_and_progress(tmp_path):
+    ref, reads = _write_inputs(tmp_path)
+    out_path = str(tmp_path / "out.paf")
+    rc, stdout, _ = run_ours(["-k", "5", "-w", "2", "--batch-size", "1",
+                              "-o", out_path, ref, reads])
+    assert rc == 0
+    assert stdout == ""                       # rows went to the file
+    lines = open(out_path).read().splitlines()
+    assert len(lines) == 3
+    prog = json.load(open(out_path + ".progress"))
+    assert prog == {"completed_reads": 3, "total_reads": 3}
+
+
+def test_resume_appends_missing_reads(tmp_path):
+    ref, reads = _write_inputs(tmp_path)
+    full = str(tmp_path / "full.paf")
+    run_ours(["-k", "5", "-w", "2", "--batch-size", "1", "-o", full,
+              ref, reads])
+    want = open(full).read()
+
+    part = str(tmp_path / "part.paf")
+    with open(part, "w") as fh:
+        fh.write(want.splitlines(keepends=True)[0])
+    json.dump({"completed_reads": 1, "total_reads": 3},
+              open(part + ".progress", "w"))
+    rc, _, _ = run_ours(["-k", "5", "-w", "2", "--batch-size", "1",
+                         "-o", part, "--resume", ref, reads])
+    assert rc == 0
+    assert open(part).read() == want
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    ref, reads = _write_inputs(tmp_path)
+    idx_path = str(tmp_path / "index.npz")
+    rc1, out1, _ = run_ours(["-k", "5", "-w", "2",
+                             "--save-index", idx_path, ref, reads])
+    rc2, out2, _ = run_ours(["-k", "5", "-w", "2",
+                             "--load-index", idx_path, ref, reads])
+    assert rc1 == rc2 == 0
+    assert out1 == out2
+    assert os.path.exists(idx_path)
+
+
+def test_gzip_reads_ingestion(tmp_path):
+    ref, reads = _write_inputs(tmp_path)
+    gz = str(tmp_path / "reads.fasta.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(open(reads, "rb").read())
+    rc_plain, out_plain, _ = run_ours(["-k", "5", "-w", "2", ref, reads])
+    rc_gz, out_gz, _ = run_ours(["-k", "5", "-w", "2", ref, gz])
+    assert rc_plain == rc_gz == 0
+    assert out_plain == out_gz
+
+
+def test_gzip_fastq_sniffing(tmp_path):
+    gz = str(tmp_path / "reads.fastq.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(b"@r1\nACGTACGT\n+\nIIIIIIII\n")
+    sniffed = fastx.parse_reads(gz)
+    assert sniffed.is_fastq
+    assert sniffed.records == [("r1", "ACGTACGT")]
