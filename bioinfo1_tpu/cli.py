@@ -162,7 +162,7 @@ def main(argv: Optional[List[str]] = None,
         return 1
 
     try:
-        reference_records = fastx.parse_fasta(file1)
+        reference_records = fastx.parse_fasta_any(file1)
     except (OSError, fastx.FormatError) as e:
         # The reference aborts via an uncaught bioparser exception here; we
         # fail with a clean message instead.

@@ -101,8 +101,36 @@ class SniffedReads:
     is_fastq: bool
 
 
+def _try_native(path: str, mode: int):
+    """Native C++ parse (native/fastx.cpp); None if unavailable."""
+    try:
+        from bioinfo1_tpu.io import native_io
+        return native_io.parse(path, mode)
+    except Exception:
+        return None
+
+
+def parse_fasta_any(path: str) -> List[Record]:
+    """FASTA parse preferring the native parser (identical semantics)."""
+    res = _try_native(path, 1)
+    if res is not None:
+        kind, records = res
+        if kind != 1:
+            raise FormatError(f"file is not in FASTA format: {path}")
+        return records
+    return parse_fasta(path)
+
+
 def parse_reads(path: str) -> SniffedReads:
     """FASTQ-first format sniffing with FASTA fallback (team_mapper.cpp:527-557)."""
+    res = _try_native(path, 0)
+    if res is not None:
+        kind, records = res
+        if kind == 2:
+            return SniffedReads(records, True)
+        if kind == 1:
+            return SniffedReads(records, False)
+        raise FormatError("Given file is not in FASTA or FASTQ format!")
     try:
         return SniffedReads(parse_fastq(path), True)
     except FormatError:

@@ -13,5 +13,5 @@ if [[ -f "$OUT/libbioinfo1_native.so" && "$OUT/libbioinfo1_native.so" -nt "$NEWE
   exit 0
 fi
 g++ -O3 -std=c++17 -fPIC -shared -march=native -fopenmp \
-  "${SRC[@]}" -o "$OUT/libbioinfo1_native.so"
+  "${SRC[@]}" -lz -o "$OUT/libbioinfo1_native.so"
 echo "built $OUT/libbioinfo1_native.so"
