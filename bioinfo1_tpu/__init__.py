@@ -22,3 +22,20 @@ from bioinfo1_tpu.reference_model import (  # noqa: F401
     ALIGNMENT_TYPES,
     MapperParams,
 )
+
+_LAZY = {
+    "Mapper": ("bioinfo1_tpu.pipeline.mapper", "Mapper"),
+    "MapperConfig": ("bioinfo1_tpu.pipeline.mapper", "MapperConfig"),
+    "map_all": ("bioinfo1_tpu.pipeline.mapper", "map_all"),
+    "build_index": ("bioinfo1_tpu.index.builder", "build_index"),
+    "map_step": ("bioinfo1_tpu.pipeline.device_map", "map_step"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (importing jax only when the API is used)."""
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
