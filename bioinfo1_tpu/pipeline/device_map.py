@@ -159,12 +159,16 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
 
     q_len = jnp.where(mapped, q_end - q_begin + 1, 0)
     t_len = jnp.where(mapped, t_end - t_begin + 1, 0)
-    region_over = (q_len > region_cap) | (t_len > region_cap)
+    # Query regions are chain-bounded within the read, so the q window cap is
+    # the read width L exactly; only target regions (which may span indels)
+    # need the larger region_cap.  Halving the wavefront's lane count nearly
+    # halves the alignment cost.
+    region_over = t_len > region_cap
     overflow = overflow | region_over
-    q_len = jnp.minimum(q_len, region_cap)
+    q_len = jnp.minimum(q_len, L)
     t_len = jnp.minimum(t_len, region_cap)
 
-    q_win = _extract_windows(reads, jnp.maximum(q_begin, 0), region_cap)
+    q_win = _extract_windows(reads, jnp.maximum(q_begin, 0), L)
     strand_row = jnp.where(use_fwd, 0, 1)
     ref_flat = index.ref_bytes.reshape(-1)
     ref_pad = index.ref_bytes.shape[-1]
