@@ -136,6 +136,7 @@ def main(argv: Optional[List[str]] = None,
             cfg.local_target_begin_end = True
             cfg.threshold_from_rev_unique = True
             cfg.exact_ties = True
+            cfg.oob_end_windows = True
         elif a == "--save-index" and i + 1 < len(argv):
             i += 1; save_index = argv[i]
         elif a == "--load-index" and i + 1 < len(argv):

@@ -80,7 +80,8 @@ def _host_kmer_hashes(seq_bytes: np.ndarray, k: int) -> np.ndarray:
     return h
 
 
-def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int):
+def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int,
+                  oob_end_windows: bool = False):
     """All window-win (hash, 1-based pos) pairs of one genome strand,
     duplicates included (order is irrelevant - the index sorts).
 
@@ -102,11 +103,18 @@ def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int):
     # End-windows (fixed semantics: prefix clamps to valid k-mers instead of
     # the reference's out-of-bounds read; suffix guarded by L >= k + s - 1).
     if w > 1:
-        head = _host_kmer_hashes(seq_bytes[: (w - 1) + k - 1], k)
+        head_bytes = seq_bytes[: (w - 1) + k - 1]
+        if oob_end_windows and len(head_bytes) < (w - 1) + k - 1:
+            # Reference bug #4: unguarded prefix windows read past the end;
+            # zero bytes stand in for the c_str NUL (+ best-effort beyond).
+            head_bytes = np.concatenate([
+                head_bytes,
+                np.zeros((w - 1) + k - 1 - len(head_bytes), dtype=np.uint8)])
+        head = _host_kmer_hashes(head_bytes, k)
         tail_start = max(nk - (w - 1), 0)
         tail = _host_kmer_hashes(seq_bytes[tail_start:], k)
         for s in range(1, w):
-            hi = min(s, len(head))
+            hi = s if oob_end_windows else min(s, len(head))
             if hi > 0:
                 j = int(np.argmin(head[:hi]))
                 pre_h.append(np.uint32(head[j])); pre_p.append(np.int32(j + 1))
@@ -227,17 +235,18 @@ def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
 def build_index(reference: str, k: int, w: int, f: float,
                 banned_rev_from_fwd: bool = False,
                 threshold_from_rev_unique: bool = False,
-                exact_ties: bool = False) -> IndexArrays:
+                exact_ties: bool = False,
+                oob_end_windows: bool = False) -> IndexArrays:
     """``threshold_from_rev_unique`` replicates the shared-global quirk where
     both strands' ban thresholds scale with the REV unique-tuple count (see
     reference_model.build_index docstring; team_mapper.cpp:433-434 +
     team_minimizers.cpp:19-22).  ``exact_ties`` reproduces the reference's
     unordered_map/std::sort tie choices via the native helper."""
     ref_bytes = np.frombuffer(reference.encode("latin1"), dtype=np.uint8)
-    fwd_h, fwd_p = _strand_sweep(ref_bytes, k, w)
+    fwd_h, fwd_p = _strand_sweep(ref_bytes, k, w, oob_end_windows)
     rc = rm.reverse_complement(reference)
     rc_bytes = np.frombuffer(rc.encode("latin1"), dtype=np.uint8)
-    rev_h, rev_p = _strand_sweep(rc_bytes, k, w)
+    rev_h, rev_p = _strand_sweep(rc_bytes, k, w, oob_end_windows)
 
     unique_override = None
     if threshold_from_rev_unique:

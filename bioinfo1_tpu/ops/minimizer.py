@@ -57,15 +57,20 @@ def num_slots(padded_len: int, k: int, w: int) -> int:
     return 2 * (w - 1) + ndense
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w"))
+@functools.partial(jax.jit, static_argnames=("k", "w", "oob_end_windows"))
 def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
-                   k: int, w: int) -> Minimizers:
+                   k: int, w: int,
+                   oob_end_windows: bool = False) -> Minimizers:
     """Reference-exact minimizer sweep over a padded batch.
 
     Args:
-      seq_bytes: (B, L) uint8 ASCII, right-padded.
+      seq_bytes: (B, L) uint8 ASCII, right-padded with zeros.
       lengths:   (B,) int32.
       k, w:      static minimizer parameters (w >= 1, L >= k).
+      oob_end_windows: replicate reference bug #4 - unguarded prefix
+        end-windows hash k-mers past the sequence end.  The zero padding of
+        this batch plays the role of the c_str() NUL (see
+        reference_model.minimize docstring).
     """
     B, L = seq_bytes.shape
     if L < k + w - 1:
@@ -78,6 +83,20 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
     base_pos = jnp.arange(nk_max, dtype=jnp.int32)[None, :] + 1  # 1-based
     pos = jnp.where(kvalid, base_pos, INVALID_POS)
 
+    if oob_end_windows:
+        # Raw zero-extended hashes for a separate prefix-window ladder: the
+        # reference's prefix loop has no length guard, so OOB k-mers (their
+        # bytes 0-filled here) participate with their real positions.
+        # kmer_hashes masked invalid entries; recompute unmasked over the
+        # padded bytes (padding is 0 already).
+        from bioinfo1_tpu.ops.encode import seq_to_codes
+        codes = seq_to_codes(seq_bytes)
+        hr = jnp.zeros((B, nk_max), dtype=jnp.uint32)
+        for j in range(k):
+            hr = (hr << 2) | codes[:, j:j + nk_max]
+        oh, op = hr, jnp.broadcast_to(base_pos, (B, nk_max))
+        owh, owp = oh, op
+
     ndense = max(nk_max - w + 1, 0)
 
     prefix_h, prefix_p = [], []   # windows of k-mers [0, s-1], s = 1..w-1
@@ -88,12 +107,20 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
         if s > 1:
             wh, wp = _combine(wh[:, : nk_max - s + 1], wp[:, : nk_max - s + 1],
                               h[:, s - 1:], pos[:, s - 1:])
+            if oob_end_windows:
+                owh, owp = _combine(owh[:, : nk_max - s + 1],
+                                    owp[:, : nk_max - s + 1],
+                                    oh[:, s - 1:], op[:, s - 1:])
         if s < w:
-            # Prefix end-window of size s anchors at start 0.  Invalid k-mers
-            # carry +inf sentinels, so short sequences clamp to their valid
-            # k-mers (fixed version of the reference's unguarded OOB read).
-            prefix_h.append(wh[:, 0])
-            prefix_p.append(wp[:, 0])
+            # Prefix end-window of size s anchors at start 0.  Fixed mode:
+            # invalid k-mers carry +inf sentinels so short sequences clamp
+            # to their valid k-mers.  Bug-compat mode: the unguarded ladder.
+            if oob_end_windows:
+                prefix_h.append(owh[:, 0])
+                prefix_p.append(owp[:, 0])
+            else:
+                prefix_h.append(wh[:, 0])
+                prefix_p.append(wp[:, 0])
             # Suffix end-window of size s anchors at start nk - s (dynamic
             # per read); emitted only when nk >= s (mask applied below).
             idx = jnp.clip(nk - s, 0, max(nk_max - s, 0))

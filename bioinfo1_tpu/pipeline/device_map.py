@@ -113,12 +113,13 @@ def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
-                                    "use_pallas"))
+                                    "use_pallas", "oob_end_windows"))
 def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
              match: jax.Array, mismatch: jax.Array, gap: jax.Array,
              *, k: int, w: int, mode: int,
              budget: int = 512, region_cap: int = 0,
-             use_pallas: bool = False) -> MapOut:
+             use_pallas: bool = False,
+             oob_end_windows: bool = False) -> MapOut:
     """Map a read batch end-to-end on device (score-only).
 
     Args:
@@ -134,7 +135,8 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     B, L = reads.shape
     if region_cap == 0:
         region_cap = L
-    mres = mz.minimize_batch(reads, lens, k, w)
+    mres = mz.minimize_batch(reads, lens, k, w,
+                             oob_end_windows=oob_end_windows)
 
     got_f = match_ops.find_matches(mres.hashes, mres.pos, mres.dedup_keep,
                                    index.fwd_hash, index.fwd_pos, budget)

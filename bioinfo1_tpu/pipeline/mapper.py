@@ -55,6 +55,7 @@ class MapperConfig:
     local_target_begin_end: bool = False
     threshold_from_rev_unique: bool = False
     exact_ties: bool = False
+    oob_end_windows: bool = False
     # batching knobs
     batch_size: int = 512
     initial_match_budget: int = 512
@@ -132,7 +133,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
     match budget (overflow retry path)."""
     k, w = index.k, index.w
     arr, lens = _pack_reads(seqs, k + w - 1)
-    mres = mz.minimize_batch(arr, lens, k, w)
+    mres = mz.minimize_batch(arr, lens, k, w,
+                             oob_end_windows=cfg.oob_end_windows)
 
     got_f, chain_f = _chains_for_strand(mres, index.fwd, budget)
     if cfg.fasta_match_nesting:
@@ -186,9 +188,15 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         ref_r = index.ref_rev_seq
         qs, ts = [], []
         for i in jobs:
-            qs.append(seqs[i][q_begin[i]: q_end[i] + 1])
+            # OOB chain coordinates (bug #4) read past the end; the
+            # reference's pointer arithmetic picks up the c_str NUL.
+            q = seqs[i][q_begin[i]: q_end[i] + 1]
+            q += "\0" * (q_end[i] - q_begin[i] + 1 - len(q))
+            qs.append(q)
             src = ref_f if use_fwd[i] else ref_r
-            ts.append(src[t_begin[i]: t_end[i] + 1])
+            t = src[t_begin[i]: t_end[i] + 1]
+            t += "\0" * (t_end[i] - t_begin[i] + 1 - len(t))
+            ts.append(t)
         qa, ql = _pack_reads(qs, 1)
         ta, tl = _pack_reads(ts, 1)
         out = al.align_batch(
@@ -258,7 +266,8 @@ class Mapper:
                 reference, cfg.k, cfg.w, cfg.f,
                 banned_rev_from_fwd=cfg.banned_rev_from_fwd,
                 threshold_from_rev_unique=cfg.threshold_from_rev_unique,
-                exact_ties=cfg.exact_ties)
+                exact_ties=cfg.exact_ties,
+                oob_end_windows=cfg.oob_end_windows)
         self.ref_len = len(reference)
         self._device_index = None
 
@@ -288,7 +297,8 @@ class Mapper:
             jnp.asarray(arr), jnp.asarray(lens), didx,
             jnp.int32(cfg.match), jnp.int32(cfg.mismatch), jnp.int32(cfg.gap),
             k=cfg.k, w=cfg.w, mode=MODE_BY_NAME[cfg.align_type],
-            budget=budget, region_cap=region_cap, use_pallas=use_pallas))
+            budget=budget, region_cap=region_cap, use_pallas=use_pallas,
+            oob_end_windows=cfg.oob_end_windows))
         results: List[ReadMapping] = []
         retry: List[int] = []
         for i in range(len(seqs)):
@@ -359,7 +369,8 @@ class Mapper:
             for (name, seq), m in zip(chunk, mappings):
                 if per_read_stats:
                     from bioinfo1_tpu.utils import stats as st
-                    res = rm.minimize(seq, cfg.k, cfg.w)
+                    res = rm.minimize(seq, cfg.k, cfg.w,
+                                      oob_end_windows=cfg.oob_end_windows)
                     hs = np.array([h for h, _, _ in res.minimizers],
                                   dtype=np.uint32)
                     lines.append(st.read_statistics(

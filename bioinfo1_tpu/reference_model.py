@@ -96,7 +96,8 @@ class MinimizeResult:
 
 
 def minimize(seq: str, k: int, w: int, is_fwd: bool = True,
-             count_frequencies: bool = True) -> MinimizeResult:
+             count_frequencies: bool = True,
+             oob_end_windows: bool = False) -> MinimizeResult:
     """Reference minimizer sweep: prefix end-windows of 1..w-1 k-mers, dense
     windows of w k-mers, suffix end-windows of 1..w-1 k-mers.
 
@@ -104,14 +105,26 @@ def minimize(seq: str, k: int, w: int, is_fwd: bool = True,
     (strict ``<`` scan, team_minimizers.cpp:106-120).  The emit order below
     is exactly the reference's and is load-bearing: it determines the order
     of seed matches fed into LIS chaining.
+
+    ``oob_end_windows=True`` replicates reference bug #4: the prefix
+    end-window loop has no length guard (team_minimizers.cpp:146-170), so
+    for sequences shorter than w+k-2 it hashes k-mers extending past the
+    end.  The first overrun byte is the guaranteed c_str() NUL, which the
+    base map encodes as 0 - so NUL(=code 0)-extension reproduces the
+    reference bit-for-bit whenever the overrun is 1 byte (deeper overruns
+    are true UB on heap bytes; 0-fill is the best-effort stand-in).
     """
     L = len(seq)
     out = MinimizeResult([], {}, set())
     if L < k or w == 0:
         return out
 
-    hashes = [kmer_hash(seq, i, k) for i in range(L - k + 1)]
-    nk = len(hashes)  # number of valid k-mers
+    # Extended hash array covers OOB prefix k-mers (start up to w-2) by
+    # 0-padding the sequence; entries beyond nk-1 are only reachable in
+    # oob_end_windows mode.
+    ext = seq + "\0" * (w - 1)
+    hashes = [kmer_hash(ext, i, k) for i in range(L - k + 1 + (w - 1))]
+    nk = L - k + 1  # number of in-bounds k-mers
 
     def emit(kmer_indices: Sequence[int]) -> None:
         best_i = min(kmer_indices, key=lambda i: hashes[i])
@@ -121,11 +134,9 @@ def minimize(seq: str, k: int, w: int, is_fwd: bool = True,
         if count_frequencies:
             out.frequencies[m[0]] = out.frequencies.get(m[0], 0) + 1
 
-    # Prefix end-windows: u = k .. w+k-2 covers k-mers [0, u-k].  The
-    # reference does not guard u against the sequence length (OOB read,
-    # delta #4 above); we clamp to the valid k-mer range.
+    # Prefix end-windows: u = k .. w+k-2 covers k-mers [0, u-k].
     for u in range(k, w + k - 1):
-        hi = min(u - k, nk - 1)
+        hi = u - k if oob_end_windows else min(u - k, nk - 1)
         emit(range(0, hi + 1))
 
     # Dense windows of exactly w k-mers, emitted once w k-mers are buffered.
@@ -198,7 +209,8 @@ def _ban_top(freqs: Dict[int, int], threshold: int,
 
 def build_index(reference: str, k: int, w: int, f: float,
                 banned_rev_from_fwd: bool = False,
-                threshold_from_rev_unique: bool = False) -> ReferenceIndex:
+                threshold_from_rev_unique: bool = False,
+                oob_end_windows: bool = False) -> ReferenceIndex:
     """Build forward + reverse-complement minimizer indexes with frequency ban.
 
     The threshold is ``int(f * |unique (hash,pos,strand) tuples|)`` per strand
@@ -212,9 +224,11 @@ def build_index(reference: str, k: int, w: int, f: float,
     it (team_mapper.cpp:417-434) - so BOTH thresholds are actually scaled by
     the reverse strand's unique-tuple count.
     """
-    fwd_res = minimize(reference, k, w, is_fwd=True)
+    fwd_res = minimize(reference, k, w, is_fwd=True,
+                       oob_end_windows=oob_end_windows)
     rc = reverse_complement(reference)
-    rev_res = minimize(rc, k, w, is_fwd=False)
+    rev_res = minimize(rc, k, w, is_fwd=False,
+                       oob_end_windows=oob_end_windows)
 
     thr_rev = int(f * len(rev_res.unique))
     thr_fwd = thr_rev if threshold_from_rev_unique else int(f * len(fwd_res.unique))
@@ -529,13 +543,15 @@ class MapperParams:
     banned_rev_from_fwd: bool = False
     fasta_match_nesting: bool = False
     local_target_begin_end: bool = False
+    oob_end_windows: bool = False
 
 
 def map_read(name: str, seq: str, index: ReferenceIndex, ref_name: str,
              params: MapperParams) -> Optional[str]:
     """Map one read; returns the PAF line or None when no chain exists."""
     frag = minimize(seq, index.k, index.w, is_fwd=True,
-                    count_frequencies=False)
+                    count_frequencies=False,
+                    oob_end_windows=params.oob_end_windows)
     frag_min = remove_duplicates(frag.minimizers)
     matches_fwd, matches_rev = find_matches(
         frag_min, index, fasta_match_nesting=params.fasta_match_nesting)
@@ -552,7 +568,13 @@ def map_read(name: str, seq: str, index: ReferenceIndex, ref_name: str,
     t_end = chain[-1][1] + k - 2
 
     target_str = index.reference if is_fwd else index.reference_rc
-    res = align(seq[q_begin:q_end + 1], target_str[t_begin:t_end + 1],
+    # OOB chain coordinates (bug #4) read past the end; the reference's
+    # pointer arithmetic picks up the c_str NUL - pad with '\0'.
+    q_str = seq[q_begin:q_end + 1]
+    q_str += "\0" * (q_end - q_begin + 1 - len(q_str))
+    t_str = target_str[t_begin:t_end + 1]
+    t_str += "\0" * (t_end - t_begin + 1 - len(t_str))
+    res = align(q_str, t_str,
                 params.align_type, params.match, params.mismatch, params.gap,
                 want_cigar=params.output_cigar,
                 local_target_begin_end=params.local_target_begin_end)
@@ -586,7 +608,8 @@ def map_all(reference_records: Sequence[Tuple[str, str]],
     """
     ref_name, reference = reference_records[0]
     index = build_index(reference, params.k, params.w, params.f,
-                        banned_rev_from_fwd=params.banned_rev_from_fwd)
+                        banned_rev_from_fwd=params.banned_rev_from_fwd,
+                        oob_end_windows=params.oob_end_windows)
     out = []
     for name, seq in read_records:
         line = map_read(name, seq, index, ref_name, params)

@@ -169,3 +169,43 @@ def test_help_and_version_parity(oracle_bin):
         rc, out, _ = run_ours(args)
         assert rc == proc.returncode
         assert out == proc.stdout
+
+
+@pytest.mark.slow
+def test_large_mixed_parity(tmp_path, oracle_bin):
+    """Bigger adversarial sweep: mixed read lengths (some shorter than
+    k+w-1), N and lowercase characters (both 2-bit-encode to 0 like the
+    C++ unordered_map operator[] default), all strands."""
+    rng = random.Random(101)
+    genome_len = 120000
+    genome = "".join(rng.choice("ACGT") for _ in range(genome_len))
+    ref_path = str(tmp_path / "big_ref.fasta")
+    _write_fasta(ref_path, [("bigref", genome)], wrap=80)
+    reads = []
+    for i in range(120):
+        kind = rng.random()
+        if kind < 0.08:
+            ln = rng.randrange(5, 40)          # shorter than k+w-1 sometimes
+        elif kind < 0.5:
+            ln = rng.randrange(100, 600)
+        else:
+            ln = rng.randrange(600, 5000)
+        start = rng.randrange(0, max(1, genome_len - ln))
+        frag = list(genome[start:start + ln])
+        for j in range(len(frag)):
+            r = rng.random()
+            if r < 0.03:
+                frag[j] = rng.choice("ACGT")
+            elif r < 0.035:
+                frag[j] = "N"
+            elif r < 0.04:
+                frag[j] = frag[j].lower()
+        frag = "".join(frag)
+        if rng.random() < 0.5:
+            comp = {"A": "T", "T": "A", "G": "C", "C": "G"}
+            frag = "".join(comp.get(c, c) for c in reversed(frag))
+        reads.append((f"mix{i}", frag))
+    reads_path = str(tmp_path / "big_reads.fasta")
+    _write_fasta(reads_path, reads)
+    _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
+    _compare(oracle_bin, ["-a", "semiGlobal"], ref_path, reads_path)
