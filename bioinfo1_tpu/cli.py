@@ -14,6 +14,8 @@ Extensions (not in the reference; all opt-in, prefixed ``--``):
                    already recorded in FILE.progress and appends (the
                    reference always restarts from scratch)
   --batch-size N   reads per device batch
+  --profile        print stage wall-clock totals and throughput counters to
+                   stderr at exit (the reference has no observability)
 """
 
 from __future__ import annotations
@@ -85,6 +87,7 @@ def main(argv: Optional[List[str]] = None,
     save_index = load_index = None
     out_path = None
     resume = False
+    profile = False
 
     if not argv:
         print("Error: Not enough arguments", file=err)
@@ -145,6 +148,8 @@ def main(argv: Optional[List[str]] = None,
             i += 1; out_path = argv[i]
         elif a == "--resume":
             resume = True
+        elif a == "--profile":
+            profile = True
         elif a == "--batch-size" and i + 1 < len(argv):
             i += 1; cfg.batch_size = max(1, _atoi(argv[i]))
         elif not file1:
@@ -177,7 +182,11 @@ def main(argv: Optional[List[str]] = None,
         print("------------------------------------", file=out)
         print(fastx.basic_statistics(reference_records, "fasta"), file=out)
 
-    mapper = Mapper(reference_records, cfg, load_index=load_index)
+    from bioinfo1_tpu.utils.tracing import StageTimers, Counters
+    timers = StageTimers()
+    counters = Counters()
+    with timers.stage("index_build"):
+        mapper = Mapper(reference_records, cfg, load_index=load_index)
     if save_index:
         from bioinfo1_tpu.index.builder import save_index as do_save
         do_save(mapper.index, save_index)
@@ -211,10 +220,19 @@ def main(argv: Optional[List[str]] = None,
     # Per-read stats only exist in the reference's FASTA branch
     # (team_mapper.cpp:610-624); the FASTQ loop has none.
     per_read_stats = statistic and not reads.is_fastq
+    counters.start()
     if out_path is None:
-        for line in mapper.map_records(reads.records,
-                                       per_read_stats=per_read_stats):
+        with timers.stage("map"):
+            lines = mapper.map_records(reads.records,
+                                       per_read_stats=per_read_stats)
+        for line in lines:
             print(line, file=out)
+        counters.observe(len(reads.records),
+                         sum(len(s) for _, s in reads.records), 0.0,
+                         sum(1 for l in lines if "\t" in l))
+        if profile:
+            print(timers.report(), file=err)
+            print(counters.json_line(), file=err)
         return 0
 
     # Checkpointed file output: FILE.progress records the number of fully

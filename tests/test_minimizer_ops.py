@@ -100,3 +100,25 @@ def test_invalid_slots_are_sentinels():
     v = jax.device_get(res.valid)
     assert not v[1].any()  # length 2 < k: nothing emitted
     assert (jax.device_get(res.hashes)[~v] == INVALID_HASH).all()
+
+
+def test_oob_end_windows_mode_vs_spec():
+    """Bug-compat prefix windows on short sequences (reference bug #4)."""
+    from bioinfo1_tpu import reference_model as rm
+    k, w = 15, 5
+    seqs = ["ACGTACGTACGTACGTA",      # 17 bp: 1-byte overrun (the NUL case)
+            "ACGTACGTACGTACG",       # 15 bp
+            "ACGTACGTACGTACGTACGTACGT"]  # 24 bp: no overrun
+    L = 32
+    arr = np.zeros((len(seqs), L), dtype=np.uint8)
+    lens = np.zeros((len(seqs),), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, :len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+        lens[i] = len(s)
+    res = mz.minimize_batch(arr, lens, k, w, oob_end_windows=True)
+    for i, s in enumerate(seqs):
+        want = rm.minimize(s, k, w, oob_end_windows=True)
+        v = jax.device_get(res.valid[i])
+        got = list(zip(jax.device_get(res.hashes[i])[v].tolist(),
+                       jax.device_get(res.pos[i])[v].tolist()))
+        assert got == [(h, p) for h, p, _ in want.minimizers], s
