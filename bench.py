@@ -125,28 +125,39 @@ def measure_baseline(genome, reads):
         if r.returncode != 0 or not os.path.exists(oracle):
             return None
     import tempfile
-    sub = min(32, len(reads))
+    sub = min(129, len(reads))
     with tempfile.TemporaryDirectory() as td:
         ref_path = os.path.join(td, "ref.fasta")
-        reads_path = os.path.join(td, "reads.fasta")
         with open(ref_path, "w") as fh:
             fh.write(">ref\n")
             fh.write(genome.tobytes().decode("latin1"))
             fh.write("\n")
-        with open(reads_path, "w") as fh:
-            for i in range(sub):
-                fh.write(f">r{i}\n{reads[i].tobytes().decode('latin1')}\n")
         env = dict(os.environ, OMP_NUM_THREADS="1")
-        t0 = time.time()
-        subprocess.run([oracle, ref_path, reads_path], env=env,
-                       capture_output=True, timeout=3600)
-        dt = time.time() - t0
-    # Subtract nothing: the reference re-parses + re-indexes every run; its
-    # users pay that cost, so the denominator includes it (documented).
-    rps = sub / dt
+
+        def run_n(n):
+            reads_path = os.path.join(td, f"reads{n}.fasta")
+            with open(reads_path, "w") as fh:
+                for i in range(n):
+                    fh.write(f">r{i}\n"
+                             f"{reads[i].tobytes().decode('latin1')}\n")
+            t0 = time.time()
+            subprocess.run([oracle, ref_path, reads_path], env=env,
+                           capture_output=True, timeout=3600)
+            return time.time() - t0
+
+        # Marginal per-read cost: the reference re-parses and re-indexes the
+        # genome every run (~19 s fixed); differencing a 1-read and a
+        # sub-read run removes that fixed cost so the denominator is the
+        # per-read mapping rate (the fairer comparison - our timed loop also
+        # excludes index build).  Min-of-2 runs tames the index-build noise,
+        # which is of the same order as the marginal cost itself.
+        t_one = min(run_n(1), run_n(1))
+        t_sub = min(run_n(sub), run_n(sub))
+    rps = (sub - 1) / max(t_sub - t_one, 1e-6)
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     with open(cache, "w") as fh:
-        json.dump({"reads_per_s": rps, "n_reads": sub, "wall_s": dt}, fh)
+        json.dump({"reads_per_s": rps, "n_reads": sub,
+                   "wall_s": t_sub, "fixed_s": t_one}, fh)
     return rps
 
 
