@@ -65,6 +65,82 @@ def hash_present(idx_hash: jax.Array, min_hash: jax.Array) -> jax.Array:
     return idx_hash[lo] == min_hash
 
 
+def _compact(cnt: jax.Array, start: jax.Array, min_pos: jax.Array,
+             key_pos: jax.Array, N: int) -> Matches:
+    """Slot bucket ranges -> (B, N) match lists, scatter-based.
+
+    cnt/start: (B, T) per-slot hit count and sorted-array start offset.
+    Replaces the per-row searchsorted over the prefix sum (log T gather
+    rounds) with ONE scatter-add + cumsum: slot(j) = #slots t with
+    cum[t] <= j, identical to searchsorted(cum, j, side='right').
+    """
+    B, T = cnt.shape
+    U = key_pos.shape[0]
+    cum = jnp.cumsum(cnt, axis=1, dtype=jnp.int32)              # inclusive
+    total = cum[:, -1]
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    marks = jnp.zeros((B, N + 1), jnp.int32).at[
+        rows, jnp.minimum(cum, N)].add(1)
+    slot = jnp.cumsum(marks[:, :N], axis=1)                     # (B, N)
+    slot_c = jnp.clip(slot, 0, T - 1)
+    prev = jnp.where(slot > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(slot_c - 1, 0),
+                                         axis=1), 0)
+    j = jnp.arange(N, dtype=jnp.int32)[None, :]
+    offset = j - prev
+    take = jnp.clip(jnp.take_along_axis(start, slot_c, axis=1) + offset,
+                    0, U - 1)
+    valid = j < jnp.minimum(total, N)[:, None]
+    r_pos = jnp.where(valid, jnp.take(key_pos, take), 0)
+    f_pos = jnp.where(valid, jnp.take_along_axis(min_pos, slot_c, axis=1), 0)
+    return Matches(f_pos=f_pos.astype(jnp.int32),
+                   r_pos=r_pos.astype(jnp.int32),
+                   count=jnp.minimum(total, N), total=total,
+                   overflow=total > N)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_matches", "shift", "steps"))
+def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
+                          keep: jax.Array,
+                          key_hash: jax.Array, key_pos: jax.Array,
+                          cnt_f: jax.Array, cnt_r: jax.Array,
+                          bucket_off: jax.Array,
+                          shift: int, steps: int,
+                          max_matches: int) -> tuple:
+    """Both strands' matches from ONE combined sorted table.
+
+    The combined index stores all (hash, strand, pos) entries sorted
+    lexicographically with fwd (strand 0) before rev; cnt_f/cnt_r hold, at
+    each hash run's first entry, the per-strand entry counts.  One bucketed
+    binary search (top `bb` hash bits -> bucket_off window, then `steps`
+    rounds) finds the run start; the fwd range is [lo, lo+cnt_f) and the rev
+    range [lo+cnt_f, lo+cnt_f+cnt_r) - no second search, no per-strand
+    table.  ~5x fewer HBM gather rounds than two searchsorted lookups.
+
+    Returns (fwd Matches, rev Matches), bit-identical to find_matches on the
+    per-strand tables.
+    """
+    U = key_hash.shape[0]
+    q = min_hash.astype(jnp.uint32)
+    b = jax.lax.shift_right_logical(q, jnp.uint32(shift)).astype(jnp.int32)
+    lo = jnp.take(bucket_off, b)
+    hi = jnp.take(bucket_off, b + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        v = jnp.take(key_hash, jnp.clip(mid, 0, U - 1))
+        go = v < q
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    loc = jnp.clip(lo, 0, U - 1)
+    present = (jnp.take(key_hash, loc) == q) & keep
+    cf = jnp.where(present, jnp.take(cnt_f, loc), 0)
+    cr = jnp.where(present, jnp.take(cnt_r, loc), 0)
+    mf = _compact(cf, lo, min_pos, key_pos, max_matches)
+    mr = _compact(cr, lo + cf, min_pos, key_pos, max_matches)
+    return mf, mr
+
+
 @functools.partial(jax.jit, static_argnames=("max_matches",))
 def find_matches(min_hash: jax.Array, min_pos: jax.Array, keep: jax.Array,
                  idx_hash: jax.Array, idx_pos: jax.Array,

@@ -1,0 +1,253 @@
+"""Banded Pallas wavefront alignment (global mode) with exactness certificate.
+
+The full wavefront kernel (ops/pallas_align.py) sweeps n+m anti-diagonals of
+n+1 lanes each.  For chained read regions the optimal global path stays near
+the main diagonal, so almost all of that work scores cells no optimal path
+can touch.  This kernel keeps only a fixed band of W diagonals live.
+
+Coordinates: anti-diagonal d = i + j, diagonal offset o = j - i.  On a given
+d only offsets with o == d (mod 2) exist, so W lanes cover the 2W-wide
+offset window [-W, W-2]: lane l holds offset o = 2l - W + (d & 1).  The DP
+recurrence in (d, o) space has FIXED lane shifts (no per-read band steering):
+
+    H_d[o] = max(H_{d-2}[o] + sub, H_{d-1}[o+1] + del, H_{d-1}[o-1] + ins)
+
+with the up/left neighbours landing at lane l / l-1 on even d and l+1 / l on
+odd d.  Query and target bytes stream through the band one lane per two
+steps (query enters at lane 0, target at lane W-1), staged via 128-aligned
+chunks as in the full kernel.
+
+Exactness: a global path that leaves the band must reach |o| >= W-1, which
+costs at least 2*(W-1) - |m-n| indels, so its score is at most
+
+    bound = max(match, mismatch, 0) * min(n, m) + gap * (2*(W-1) - |m-n|)
+
+(valid when gap <= 0 and no literal '-' bytes, which make some gaps free,
+team_alignment.cpp:25-28).  If the banded score >= bound, no out-of-band
+path can beat it and the result equals the full DP's (ties only ever tie
+the score, which is all this path emits).  `certify()` returns that flag;
+pipeline/device_map.py falls back to the full kernel for uncertified reads.
+
+Reference semantics preserved: linear gap, raw byte compare, global borders
+H(0,j)=j*gap / H(i,0)=i*gap, goal cell (n, m) (team_alignment.cpp:83-118).
+Score-only, like the full Pallas kernel: PAF column 10 is the DP score
+(team_mapper.cpp:691); -c traceback goes through ops/align.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bioinfo1_tpu.ops.align import AlignOut
+
+_NEG = -(2**30)      # invalid-cell fill; safe against +gap underflow
+_DASH = 45           # ord('-')
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(W, BT, n_len, m_len, n_steps,
+            q_ref, ql_ref, t_ref, tl_ref, qd0_ref, td0_ref, prm_ref,
+            score_ref,
+            h2_s, h1_s, qd_s, td_s, qchunk_s, tchunk_s):
+    match = prm_ref[0, 0]
+    mismatch = prm_ref[0, 1]
+    gap = prm_ref[0, 2]
+    init = gap
+
+    ql = ql_ref[...].astype(jnp.int32)                     # (BT, 1)
+    tl = tl_ref[...].astype(jnp.int32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    lanes128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+    half = W // 2
+
+    # d=0: only cell (0,0)=0 at lane W/2.  d=1: (0,1) at lane W/2 and (1,0)
+    # at lane W/2-1, both = gap under global borders.
+    h2_s[...] = jnp.where(lanes == half, 0, _NEG).astype(jnp.int32)
+    h1_s[...] = jnp.where((lanes == half) | (lanes == half - 1),
+                          init, _NEG).astype(jnp.int32)
+    qd_s[...] = qd0_ref[...].astype(jnp.int32)
+    td_s[...] = td0_ref[...].astype(jnp.int32)
+
+    def chunk_byte(chunk_s, off):
+        return jnp.sum(
+            jnp.where(lanes128 == off, chunk_s[...].astype(jnp.int32), 0),
+            axis=1, keepdims=True)
+
+    def step(d, carry):
+        score = carry
+        p = jax.lax.rem(d, 2)
+        i0 = (d + W) // 2                                  # row at lane 0
+        j0 = d - i0                                        # col at lane 0
+
+        # --- stream query byte q[i0-1] into lane 0 on even steps ---
+        aq = jnp.clip(i0 - 1, 0, n_len - 1)
+        offq = jax.lax.rem(aq, 128)
+        baseq = pl.multiple_of(aq - offq, 128)
+
+        @pl.when((offq == 0) | (d == 2))
+        def _():
+            qchunk_s[...] = q_ref[:, pl.ds(baseq, 128)]
+
+        at = jnp.clip(j0 + W - 2, 0, m_len - 1)
+        offt = jax.lax.rem(at, 128)
+        baset = pl.multiple_of(at - offt, 128)
+
+        @pl.when((offt == 0) | (d == 3))
+        def _():
+            tchunk_s[...] = t_ref[:, pl.ds(baset, 128)]
+
+        qd = qd_s[...]
+        td = td_s[...]
+        qnew = chunk_byte(qchunk_s, offq)
+        qd_shift = jnp.where(lanes == 0, qnew, pltpu.roll(qd, shift=1, axis=1))
+        qd = jnp.where(p == 0, qd_shift, qd)
+        qd_s[...] = qd
+        tnew = chunk_byte(tchunk_s, offt)
+        td_shift = jnp.where(lanes == W - 1, tnew,
+                             pltpu.roll(td, shift=W - 1, axis=1))
+        td = jnp.where(p == 0, td, td_shift)
+        td_s[...] = td
+
+        h2 = h2_s[...]
+        h1 = h1_s[...]
+        # Up (i-1, j): lane l on even d, l+1 on odd.  Left (i, j-1): l-1 on
+        # even d, l on odd.  Band-edge rolls wrap, so mask them to invalid.
+        h1_m = pltpu.roll(h1, shift=W - 1, axis=1)
+        h1_m = jnp.where(lanes == W - 1, _NEG, h1_m)
+        h1_p = pltpu.roll(h1, shift=1, axis=1)
+        h1_p = jnp.where(lanes == 0, _NEG, h1_p)
+        up = jnp.where(p == 0, h1, h1_m)
+        left = jnp.where(p == 0, h1_p, h1)
+
+        sub = jnp.where(qd == td, match, mismatch)
+        del_cost = jnp.where(qd == _DASH, 0, gap)
+        ins_cost = jnp.where(td == _DASH, 0, gap)
+        h = jnp.maximum(jnp.maximum(h2 + sub, left + ins_cost),
+                        up + del_cost)
+
+        i_lane = i0 - lanes
+        j_lane = d - i_lane
+        h = jnp.where(i_lane == 0, j_lane * init, h)       # row 0
+        h = jnp.where(j_lane == 0, i_lane * init, h)       # col 0
+        h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
+
+        # Goal (ql, tl): captured on its anti-diagonal at its band lane.
+        hit = d == (ql + tl)
+        lstar = (tl - ql + W - p) // 2
+        val = jnp.sum(jnp.where(lanes == lstar, h, 0), axis=1, keepdims=True)
+        score = jnp.where(hit, val, score)
+
+        h2_s[...] = h1
+        h1_s[...] = h
+        return score
+
+    score0 = jnp.zeros((BT, 1), jnp.int32)
+    score = jax.lax.fori_loop(2, n_steps + 2, step, score0)
+    score_ref[...] = score
+
+
+@functools.partial(jax.jit, static_argnames=("band", "block", "interpret"))
+def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
+                        t_bytes: jax.Array, t_lens: jax.Array,
+                        match: jax.Array, mismatch: jax.Array,
+                        gap: jax.Array, band: int = 256, block: int = 32,
+                        interpret: bool = False) -> AlignOut:
+    """Banded global-mode scores; exact iff `certify(...)` (else a lower
+    bound of the in-band optimum).  Drop-in AlignOut like align_scores."""
+    B, n = q_bytes.shape
+    m = t_bytes.shape[1]
+    W = _round_up(band, 128)
+    BT = block
+    b_pad = _round_up(max(B, BT), BT)
+    n_pad = _round_up(max(n, 128), 128)
+    # The band never touches j > i + W, so the target tail beyond n+W is
+    # dead weight; reads needing it fail certification anyway.
+    m_eff = _round_up(max(min(m, n + W), 128), 128)
+
+    q_p = jnp.zeros((b_pad, n_pad), dtype=jnp.uint8)
+    q_p = q_p.at[:B, :n].set(q_bytes)
+    t_p = jnp.zeros((b_pad, m_eff), dtype=jnp.uint8)
+    t_p = t_p.at[:B, :min(m, m_eff)].set(t_bytes[:, :m_eff])
+    ql = jnp.zeros((b_pad, 1), jnp.int32).at[:B, 0].set(
+        q_lens.astype(jnp.int32))
+    tl = jnp.zeros((b_pad, 1), jnp.int32).at[:B, 0].set(
+        jnp.minimum(t_lens.astype(jnp.int32), m_eff))
+    prm = jnp.array([[match, mismatch, gap]], dtype=jnp.int32)
+
+    half = W // 2
+    # Band-state seeds for d=1: lane l holds q[i(l)-1] with i(l) = W/2 - l
+    # (reversed query prefix) and t[j(l)-1] with j(l) = l - W/2 + 1.
+    qd0 = jnp.zeros((b_pad, W), dtype=jnp.uint8)
+    qd0 = qd0.at[:, :half].set(
+        jnp.flip(q_p[:, :half], axis=1))
+    td0 = jnp.zeros((b_pad, W), dtype=jnp.uint8)
+    td0 = td0.at[:, half:].set(t_p[:, :half])
+
+    n_steps = (n_pad - 1) + (m_eff + 1) - 1   # d = 2 .. n_pad + m_eff
+    kernel = functools.partial(_kernel, W, BT, n_pad, m_eff, n_steps)
+    grid = (b_pad // BT,)
+    row_spec = pl.BlockSpec((BT, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((BT, W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    score = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BT, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            pl.BlockSpec((BT, m_eff), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            band_spec,
+            band_spec,
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, W), jnp.int32),
+            pltpu.VMEM((BT, 128), jnp.uint8),
+            pltpu.VMEM((BT, 128), jnp.uint8),
+        ],
+        interpret=interpret,
+    )(q_p, ql, t_p, tl, qd0, td0, prm)
+
+    ql_out = q_lens.astype(jnp.int32)
+    tl_out = t_lens.astype(jnp.int32)
+    return AlignOut(score=score[:B, 0], goal_i=ql_out, goal_j=tl_out,
+                    parents=jnp.zeros((0, 0, 0), dtype=jnp.uint32))
+
+
+def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,
+            t_bytes: jax.Array, t_lens: jax.Array,
+            match: jax.Array, mismatch: jax.Array, gap: jax.Array,
+            band: int) -> jax.Array:
+    """(B,) bool: the banded global score provably equals the full DP's."""
+    W = _round_up(band, 128)
+    ql = q_lens.astype(jnp.int32)
+    tl = t_lens.astype(jnp.int32)
+    diff = tl - ql
+    goal_in_band = (diff >= -W) & (diff <= W - 2)
+    # Band covers the whole matrix: every offset o in [-n, m] is in
+    # [-W, W-2] -> banded IS the full DP (no score test needed).
+    whole = (ql <= W) & (tl <= W - 2)
+    maxsub = jnp.maximum(jnp.maximum(match, mismatch), 0).astype(jnp.int32)
+    gaps_min = 2 * (W - 1) - jnp.abs(diff)
+    bound = maxsub * jnp.minimum(ql, tl) + gap.astype(jnp.int32) * gaps_min
+    no_dash = ~(jnp.any(q_bytes == _DASH, axis=1)
+                | jnp.any(t_bytes == _DASH, axis=1))
+    strong = (gap < 0) & no_dash & (score >= bound)
+    return goal_in_band & (whole | strong)

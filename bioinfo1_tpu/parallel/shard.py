@@ -47,19 +47,20 @@ def replicate_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
 
 def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
                      budget: int = 512, region_cap: int = 0,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False, band: int = 0):
     """Build a jitted data-parallel map step bound to ``mesh``.
 
     Returns fn(reads (B,L), lens (B,), index, match, mismatch, gap) with B a
     multiple of mesh size; reads/lens sharded on the batch axis, index
     replicated, outputs sharded back (fetch with jax.device_get).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     def local_step(reads, lens, index, match, mismatch, gap):
         return dm.map_step(reads, lens, index, match, mismatch, gap,
                            k=k, w=w, mode=mode, budget=budget,
-                           region_cap=region_cap, use_pallas=use_pallas)
+                           region_cap=region_cap, use_pallas=use_pallas,
+                           band=band)
 
     fn = shard_map(
         local_step, mesh=mesh,
@@ -67,7 +68,7 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
         out_specs=jax.tree.map(lambda _: P("data"), dm.MapOut(
             mapped=0, is_fwd=0, q_begin=0, q_end=0, t_begin=0, t_end=0,
             score=0, overflow=0)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 

@@ -30,19 +30,32 @@ from bioinfo1_tpu.ops import minimizer as mz
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceIndex:
-    """Device-resident replicated reference index.
+    """Device-resident replicated reference index (combined-table layout).
 
-    hash/pos arrays are the per-strand sorted indexes; ref_bytes stacks the
-    forward and reverse-complement strand sequences as (2, ref_pad) uint8 so
-    strand selection is a row index.
+    All (hash, strand, pos) entries of BOTH strand indexes live in one
+    lexicographically sorted table (fwd entries first within a hash run);
+    cnt_f/cnt_r hold the per-strand run sizes at each run's first entry, so
+    one lookup serves both strands.  bucket_off[b] is the table offset of
+    the first hash with top bits b (hash >> shift == b): a probe narrows to
+    its bucket with two O(1) gathers and finishes with `bsearch_steps`
+    binary-search rounds (log2 of the largest bucket - 4 for E. coli).
+
+    ref_bytes stacks the forward and reverse-complement strand sequences as
+    (2, ref_pad) uint8 so strand selection is a row index.
+
+    shift/bsearch_steps are static metadata (jit specialization keys).
     """
 
-    fwd_hash: jax.Array
-    fwd_pos: jax.Array
-    rev_hash: jax.Array
-    rev_pos: jax.Array
+    key_hash: jax.Array       # (U,) uint32 sorted, padded with 0xFFFFFFFF
+    key_pos: jax.Array        # (U,) int32 1-based strand positions
+    cnt_f: jax.Array          # (U,) int32, valid at hash-run starts
+    cnt_r: jax.Array
+    bucket_off: jax.Array     # (2^bb + 1,) int32
     ref_bytes: jax.Array      # (2, ref_pad) uint8
     ref_len: jax.Array        # () int32
+    shift: int = dataclasses.field(default=0, metadata=dict(static=True))
+    bsearch_steps: int = dataclasses.field(default=21,
+                                           metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -66,28 +79,57 @@ class MapOut:
 
 
 def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
-    """Pack an index.builder.IndexArrays into device arrays."""
+    """Pack an index.builder.IndexArrays into the combined device layout."""
     import numpy as np
-
-    def pad1(a, fill):
-        n = len(a)
-        cap = 8
-        while cap < n:
-            cap *= 2
-        out = np.full((cap,), fill, dtype=a.dtype)
-        out[:n] = a
-        return out
 
     fh = index.fwd.hash_sorted.astype(np.uint32)
     rh = index.rev.hash_sorted.astype(np.uint32)
     fp = index.fwd.pos_sorted.astype(np.int32)
     rp = index.rev.pos_sorted.astype(np.int32)
-    if pad_to_pow2:
-        # Pad hashes with the max sentinel so searchsorted never lands in the
-        # padding (real hash 0xFFFFFFFF entries would sort before pads of the
-        # same value; positions pad with 0 and are unreachable).
-        fh, rh = pad1(fh, 0xFFFFFFFF), pad1(rh, 0xFFFFFFFF)
-        fp, rp = pad1(fp, 0), pad1(rp, 0)
+
+    # Merge the two per-strand sorted tables; within a hash run fwd entries
+    # precede rev entries, positions ascending (the order LIS parity needs).
+    keys = np.concatenate([fh, rh])
+    strands = np.concatenate([np.zeros(len(fh), np.uint8),
+                              np.ones(len(rh), np.uint8)])
+    poss = np.concatenate([fp, rp])
+    order = np.lexsort((poss, strands, keys))
+    ks, ss, ps = keys[order], strands[order], poss[order]
+    U = len(ks)
+    Up = 8
+    while Up < U:
+        Up *= 2
+    if not pad_to_pow2:
+        Up = max(U, 1)
+
+    # Per-strand run sizes at each hash run's first entry.
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]])) \
+        if U else np.zeros((0,), np.int64)
+    ends = np.append(starts[1:], U)
+    cum_s = np.concatenate([[0], np.cumsum(ss, dtype=np.int64)])
+    rev_in = (cum_s[ends] - cum_s[starts]).astype(np.int32)
+    cnt_f = np.zeros(Up, np.int32)
+    cnt_r = np.zeros(Up, np.int32)
+    cnt_f[starts] = (ends - starts).astype(np.int32) - rev_in
+    cnt_r[starts] = rev_in
+    # Sentinel pads sort after every real hash; their counts are 0, so a
+    # probe landing on them reports no hits.
+    ksp = np.full(Up, 0xFFFFFFFF, np.uint32)
+    ksp[:U] = ks
+    psp = np.zeros(Up, np.int32)
+    psp[:U] = ps
+
+    # Bucket directory over the top bb hash bits.
+    hash_bits = 2 * int(index.k)
+    bb = max(1, min(22, hash_bits, (max(U, 2) - 1).bit_length() + 3))
+    shift = max(0, hash_bits - bb)
+    edges = (np.arange(1 << bb, dtype=np.uint64) << np.uint64(shift))
+    bo = np.searchsorted(ks, edges.astype(np.uint64),
+                         side="left").astype(np.int32)
+    bo = np.append(bo, U).astype(np.int32)
+    max_bucket = int(np.diff(bo).max()) if U else 1
+    steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+
     L = int(index.ref_len)
     cap = 16
     while cap < L:
@@ -98,9 +140,11 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     ref[1, :L] = np.frombuffer(index.ref_rev_seq.encode("latin1"),
                                dtype=np.uint8)
     return DeviceIndex(
-        fwd_hash=jnp.asarray(fh), fwd_pos=jnp.asarray(fp),
-        rev_hash=jnp.asarray(rh), rev_pos=jnp.asarray(rp),
-        ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L))
+        key_hash=jnp.asarray(ksp), key_pos=jnp.asarray(psp),
+        cnt_f=jnp.asarray(cnt_f), cnt_r=jnp.asarray(cnt_r),
+        bucket_off=jnp.asarray(bo),
+        ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L),
+        shift=shift, bsearch_steps=steps)
 
 
 def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
@@ -113,13 +157,14 @@ def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
-                                    "use_pallas", "oob_end_windows"))
+                                    "use_pallas", "oob_end_windows", "band"))
 def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
              match: jax.Array, mismatch: jax.Array, gap: jax.Array,
              *, k: int, w: int, mode: int,
              budget: int = 512, region_cap: int = 0,
              use_pallas: bool = False,
-             oob_end_windows: bool = False) -> MapOut:
+             oob_end_windows: bool = False,
+             band: int = 0) -> MapOut:
     """Map a read batch end-to-end on device (score-only).
 
     Args:
@@ -131,6 +176,10 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
       budget: static per-read match budget (overflow flagged for host retry).
       region_cap: static max alignment-region length; 0 means L + 8 rounded
         up - regions beyond it are clamped (flagged via overflow as well).
+      band: static banded-alignment width (global mode only; 0 = full
+        wavefront).  Banded scores carry an exactness certificate
+        (ops/pallas_band.py); any uncertified read triggers one full-kernel
+        pass inside the same jit, so the result is ALWAYS exact.
     """
     B, L = reads.shape
     if region_cap == 0:
@@ -138,10 +187,10 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     mres = mz.minimize_batch(reads, lens, k, w,
                              oob_end_windows=oob_end_windows)
 
-    got_f = match_ops.find_matches(mres.hashes, mres.pos, mres.dedup_keep,
-                                   index.fwd_hash, index.fwd_pos, budget)
-    got_r = match_ops.find_matches(mres.hashes, mres.pos, mres.dedup_keep,
-                                   index.rev_hash, index.rev_pos, budget)
+    got_f, got_r = match_ops.find_matches_combined(
+        mres.hashes, mres.pos, mres.dedup_keep,
+        index.key_hash, index.key_pos, index.cnt_f, index.cnt_r,
+        index.bucket_off, index.shift, index.bsearch_steps, budget)
     if use_pallas:
         from bioinfo1_tpu.ops import pallas_chain
         chain_fn = pallas_chain.lis_chain
@@ -178,15 +227,29 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     t_idx = t_base[:, None] + jnp.arange(region_cap, dtype=jnp.int32)[None, :]
     t_win = jnp.take(ref_flat, jnp.clip(t_idx, 0, 2 * ref_pad - 1))
 
-    if use_pallas:
-        from bioinfo1_tpu.ops import pallas_align as pa
-        out = pa.align_scores(q_win, q_len, t_win, t_len, mode,
-                              match, mismatch, gap)
+    def full_scores():
+        if use_pallas:
+            from bioinfo1_tpu.ops import pallas_align as pa
+            return pa.align_scores(q_win, q_len, t_win, t_len, mode,
+                                   match, mismatch, gap).score
+        return al.align_batch(q_win, q_len, t_win, t_len, mode,
+                              match, mismatch, gap, want_parents=False).score
+
+    if band and mode == 0:
+        from bioinfo1_tpu.ops import pallas_band as pb
+        bout = pb.align_scores_banded(q_win, q_len, t_win, t_len,
+                                      match, mismatch, gap, band=band,
+                                      interpret=not use_pallas)
+        certified = pb.certify(bout.score, q_win, q_len, t_win, t_len,
+                               match, mismatch, gap, band)
+        need_full = jnp.any(mapped & ~certified)
+        full = jax.lax.cond(need_full, full_scores,
+                            lambda: jnp.zeros_like(bout.score))
+        score = jnp.where(certified, bout.score, full)
     else:
-        out = al.align_batch(q_win, q_len, t_win, t_len, mode,
-                             match, mismatch, gap, want_parents=False)
+        score = full_scores()
 
     return MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
-                  score=out.score, overflow=overflow)
+                  score=score, overflow=overflow)

@@ -1,0 +1,142 @@
+"""Banded wavefront kernel vs the full lax DP.
+
+Certified scores must equal the full DP exactly; the map_step integration
+must be exact even on adversarial inputs (certificate fails -> in-jit
+full-kernel fallback).  Runs in the Pallas interpreter on the CPU backend;
+the compiled path is exercised on real TPU by bench.py.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioinfo1_tpu.ops import align as al
+from bioinfo1_tpu.ops import pallas_band as pb
+
+
+def _pack(seqs, pad):
+    arr = np.zeros((len(seqs), pad), dtype=np.uint8)
+    lens = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, :len(s)] = np.frombuffer(s.encode("latin1"), dtype=np.uint8)
+        lens[i] = len(s)
+    return arr, lens
+
+
+def _ont_like_pairs(seed, count, minlen=150, maxlen=300, err=0.02):
+    """Near-diagonal pairs: substitutions + sparse indels, like chained ONT
+    regions - the case the band is built for."""
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(count):
+        n = rng.randrange(minlen, maxlen)
+        base = "".join(rng.choice("ACGT") for _ in range(n))
+        mut = list(base)
+        for _ in range(int(n * err)):
+            p = rng.randrange(len(mut))
+            op = rng.random()
+            if op < 0.6:
+                mut[p] = rng.choice("ACGT")
+            elif op < 0.8:
+                mut.insert(p, rng.choice("ACGT"))
+            else:
+                del mut[p]
+        pairs.append((base, "".join(mut)))
+    return pairs
+
+
+@pytest.mark.parametrize("params", [(1, -1, -1), (2, -1, -2)])
+def test_certified_scores_exact(params):
+    match, mismatch, gap = params
+    pairs = _ont_like_pairs(11 + match, 8)
+    pairs += [("A", "A"), ("AC-GT", "ACGT"), ("ACGT" * 8, "ACGT" * 8)]
+    qa, ql = _pack([p[0] for p in pairs], max(len(p[0]) for p in pairs))
+    ta, tl = _pack([p[1] for p in pairs], max(len(p[1]) for p in pairs))
+
+    want = al.align_batch(qa, ql, ta, tl, 0, match, mismatch, gap)
+    got = pb.align_scores_banded(qa, ql, ta, tl, match, mismatch, gap,
+                                 band=128, block=8, interpret=True)
+    cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                 jnp.int32(match), jnp.int32(mismatch),
+                                 jnp.int32(gap), 128))
+    # ONT-like pairs at 2% error are comfortably certifiable at band 128.
+    assert cert[:8].all() and cert[8:].all()
+    np.testing.assert_array_equal(np.asarray(got.score)[cert],
+                                  np.asarray(want.score)[cert])
+
+
+def test_certificate_rejects_out_of_band():
+    # 300-base deletion in the middle: optimal path leaves a 128-band.
+    rng = random.Random(3)
+    base = "".join(rng.choice("ACGT") for _ in range(700))
+    mut = base[:200] + base[500:]
+    qa, ql = _pack([base], 700)
+    ta, tl = _pack([mut], 700)
+    got = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1,
+                                 band=128, block=8, interpret=True)
+    cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                 jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                                 128))
+    want = al.align_batch(qa, ql, ta, tl, 0, 1, -1, -1)
+    # The true optimum needs |o|=300 > band; either the certificate refuses,
+    # or (tiny matrices fully covered) it matches - here it must refuse
+    # unless it happens to agree.
+    if cert[0]:
+        np.testing.assert_array_equal(np.asarray(got.score),
+                                      np.asarray(want.score))
+    else:
+        assert np.asarray(got.score)[0] <= np.asarray(want.score)[0]
+
+
+def test_dash_blocks_certificate():
+    # '-' makes gaps free (team_alignment.cpp:25-28): the score bound is
+    # invalid, so certify() must refuse (except whole-matrix coverage).
+    q = "ACGT" + "-" * 200 + "ACGT" * 40
+    t = "ACGT" * 41
+    qa, ql = _pack([q], len(q))
+    ta, tl = _pack([t], 256)
+    got = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1,
+                                 band=128, block=8, interpret=True)
+    cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                 jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                                 128))
+    whole = (ql[0] <= 128) & (tl[0] <= 126)
+    assert whole or not cert[0]
+
+
+def test_map_step_banded_exact_with_fallback():
+    """Fused step with band on == band off, even when reads need fallback."""
+    from bioinfo1_tpu.index import builder
+    from bioinfo1_tpu.pipeline import device_map as dm
+
+    rng = np.random.default_rng(5)
+    k, w = 15, 5
+    genome = "".join("CATG"[i] for i in rng.integers(0, 4, 8192))
+    index = builder.build_index(genome, k, w, 0.001)
+    didx = dm.device_index_from_host(index)
+
+    L = 512
+    gbytes = np.frombuffer(genome.encode(), dtype=np.uint8)
+    reads = np.zeros((8, L), dtype=np.uint8)
+    lens = np.full((8,), L, dtype=np.int32)
+    for b in range(8):
+        start = int(rng.integers(0, len(genome) - L))
+        r = gbytes[start:start + L].copy()
+        if b >= 6:
+            # Large internal deletion: region needs the full kernel.
+            r = np.concatenate([r[:100], r[400:], gbytes[:300]])[:L]
+        reads[b] = r
+    args = (jnp.asarray(reads), jnp.asarray(lens), didx,
+            jnp.int32(1), jnp.int32(-1), jnp.int32(-1))
+    kw = dict(k=k, w=w, mode=0, budget=512, region_cap=2 * L)
+    out_full = dm.map_step(*args, **kw, band=0)
+    out_band = dm.map_step(*args, **kw, band=128)
+    np.testing.assert_array_equal(np.asarray(out_full.mapped),
+                                  np.asarray(out_band.mapped))
+    np.testing.assert_array_equal(np.asarray(out_full.score),
+                                  np.asarray(out_band.score))
+    np.testing.assert_array_equal(np.asarray(out_full.t_begin),
+                                  np.asarray(out_band.t_begin))
