@@ -99,6 +99,33 @@ def _compact(cnt: jax.Array, start: jax.Array, min_pos: jax.Array,
                    overflow=total > N)
 
 
+@functools.partial(jax.jit, static_argnames=("keep_cap",))
+def compact_queries(min_hash: jax.Array, min_pos: jax.Array,
+                    keep: jax.Array, keep_cap: int) -> tuple:
+    """Pack kept minimizer slots left into (B, keep_cap) arrays.
+
+    The dense window sweep emits one slot per window, but only ~2/(w+1) of
+    them survive dedup - compacting first shrinks every downstream lookup
+    round by ~2-3x.  Order-preserving (the reference's per-read minimizer
+    iteration order, team_mapper.cpp:627).  Returns (hash, pos, keep2,
+    overflow) where overflow flags reads with > keep_cap kept slots (their
+    tail is dropped; callers retry at a bigger budget, which doubles
+    keep_cap too).
+    """
+    B, T = min_hash.shape
+    Tc = min(keep_cap, T)
+    ki = keep.astype(jnp.int32)
+    dst = jnp.cumsum(ki, axis=1) - 1
+    n_kept = jnp.sum(ki, axis=1)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    dstc = jnp.where(keep & (dst < Tc), dst, Tc)
+    h = jnp.zeros((B, Tc + 1), min_hash.dtype).at[rows, dstc].set(min_hash)
+    p = jnp.zeros((B, Tc + 1), min_pos.dtype).at[rows, dstc].set(min_pos)
+    lanes = jnp.arange(Tc, dtype=jnp.int32)[None, :]
+    keep2 = lanes < jnp.minimum(n_kept, Tc)[:, None]
+    return h[:, :Tc], p[:, :Tc], keep2, n_kept > Tc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_matches", "shift", "steps"))
 def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,

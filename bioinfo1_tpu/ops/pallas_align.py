@@ -144,8 +144,12 @@ def _kernel(mode, n1, m_len, q_ref, ql_ref, t_ref, tl_ref, prm_ref,
         return (score, bc, bi, bj, cc, ci, rc, rj)
 
     n_steps = (n1 - 1) + m_len - 1                    # d = 2 .. n1-1+m_len
+    # Every goal rule (corner / in-matrix argmax / rim) only reads cells
+    # with d <= ql + tl, so the sweep stops at the tile's largest (dynamic
+    # bound; padded rows have ql = tl = 0).
+    d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
     score, bc, bi, bj, cc, ci, rc, rj = jax.lax.fori_loop(
-        2, n_steps + 2, step, carry0)
+        2, d_stop + 1, step, carry0)
 
     if mode == MODE_GLOBAL:
         score_ref[...] = score

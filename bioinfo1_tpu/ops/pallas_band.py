@@ -150,7 +150,10 @@ def _kernel(W, BT, n_len, m_len, n_steps,
         return score
 
     score0 = jnp.zeros((BT, 1), jnp.int32)
-    score = jax.lax.fori_loop(2, n_steps + 2, step, score0)
+    # The goal cell sits on anti-diagonal ql + tl; nothing beyond the tile's
+    # largest one can matter, so the sweep stops there (dynamic bound).
+    d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
+    score = jax.lax.fori_loop(2, d_stop + 1, step, score0)
     score_ref[...] = score
 
 

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bioinfo1_tpu.ops.chain import ChainResult
 
 _GAP_CAP = 5000
-_BT = 8
+_BT = 32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -70,7 +70,11 @@ def _kernel(n, f_ref, r_ref, cnt_ref, len_ref, qs_ref, qe_ref, ts_ref,
         prev_s[...] = jnp.where(col, new_prev, prev_s[...])
         return 0
 
-    jax.lax.fori_loop(1, n, step, 0)
+    # Iterations beyond the tile's largest match count are no-ops (the vi
+    # mask kills them); bounding the loop there makes near-empty tiles -
+    # e.g. the wrong-strand chain of every read - finish immediately.
+    n_iter = jnp.minimum(jnp.max(cnt), n)
+    jax.lax.fori_loop(1, n_iter, step, 0)
 
     lis = jnp.where(valid, lis_s[...], 0)
     prev = prev_s[...]

@@ -187,8 +187,14 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     mres = mz.minimize_batch(reads, lens, k, w,
                              oob_end_windows=oob_end_windows)
 
+    # ~2/(w+1) of window slots survive dedup; pack them left so every
+    # lookup round below runs at the compacted width.  keep_cap scales with
+    # budget so the host's overflow-retry doubling lifts both limits.
+    keep_cap = min(mres.hashes.shape[1], budget)
+    q_hash, q_pos, q_keep, q_over = match_ops.compact_queries(
+        mres.hashes, mres.pos, mres.dedup_keep, keep_cap)
     got_f, got_r = match_ops.find_matches_combined(
-        mres.hashes, mres.pos, mres.dedup_keep,
+        q_hash, q_pos, q_keep,
         index.key_hash, index.key_pos, index.cnt_f, index.cnt_r,
         index.bucket_off, index.shift, index.bsearch_steps, budget)
     if use_pallas:
@@ -201,7 +207,7 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
 
     use_fwd = cf.length >= cr.length          # ties forward (quirk #8)
     mapped = jnp.where(use_fwd, cf.length, cr.length) > 0
-    overflow = got_f.overflow | got_r.overflow
+    overflow = got_f.overflow | got_r.overflow | q_over
 
     q_begin = jnp.where(use_fwd, cf.q_start, cr.q_start) - 1
     q_end = jnp.where(use_fwd, cf.q_end, cr.q_end) + k - 2

@@ -298,7 +298,8 @@ class Mapper:
             jnp.int32(cfg.match), jnp.int32(cfg.mismatch), jnp.int32(cfg.gap),
             k=cfg.k, w=cfg.w, mode=MODE_BY_NAME[cfg.align_type],
             budget=budget, region_cap=region_cap, use_pallas=use_pallas,
-            oob_end_windows=cfg.oob_end_windows))
+            oob_end_windows=cfg.oob_end_windows,
+            band=256 if arr.shape[1] > 512 else 0))
         results: List[ReadMapping] = []
         retry: List[int] = []
         for i in range(len(seqs)):

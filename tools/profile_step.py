@@ -71,23 +71,27 @@ def main():
                 def run(i):
                     rb = jax.lax.dynamic_slice_in_dim(reads_d, i, batch, 0)
                     lb = jax.lax.dynamic_slice_in_dim(lens_d, i, batch, 0)
-                    return dm.map_step(
+                    o = dm.map_step(
                         rb, lb, didx, m, n, g, k=15, w=5, mode=0,
                         budget=budget, region_cap=8192,
                         use_pallas=True, band=band)
+                    return (jnp.sum(o.mapped), jnp.sum(o.overflow),
+                            jnp.sum(o.score))
+                # block_until_ready can return early on the axon tunnel:
+                # timed regions must end in a device_get over all batches.
                 t0 = time.time()
-                jax.block_until_ready(run(0).score)
+                jax.device_get(run(0)[2])
                 tc = time.time() - t0
                 t0 = time.time()
-                outs = [run(i) for i in range(0, 256, batch)]
-                for o in outs:
-                    jax.block_until_ready(o.score)
+                acc = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                for i in range(0, 256, batch):
+                    o = run(i)
+                    acc = tuple(a + b for a, b in zip(acc, o))
+                mapped, over, _ = jax.device_get(acc)
                 dt = time.time() - t0
-                mapped = sum(int(jnp.sum(o.mapped)) for o in outs)
-                over = sum(int(jnp.sum(o.overflow)) for o in outs)
                 print(f"batch={batch} band={band} budget={budget}: "
-                      f"{256 / dt:8.1f} reads/s  mapped={mapped} "
-                      f"overflow={over} compile={tc:.1f}s")
+                      f"{256 / dt:8.1f} reads/s  mapped={int(mapped)} "
+                      f"overflow={int(over)} compile={tc:.1f}s")
 
 
 if __name__ == "__main__":
