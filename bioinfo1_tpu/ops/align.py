@@ -212,3 +212,113 @@ def align_batch(q_bytes: jax.Array, q_lens: jax.Array,
     if not want_parents:
         parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
     return AlignOut(score=out_score, goal_i=gi, goal_j=gj, parents=parents)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def align_banded_parents(q_bytes: jax.Array, q_lens: jax.Array,
+                         t_bytes: jax.Array, t_lens: jax.Array,
+                         match: jax.Array, mismatch: jax.Array,
+                         gap: jax.Array, band: int = 256) -> AlignOut:
+    """Banded GLOBAL alignment with 2-bit parents in band coordinates.
+
+    Same diagonal-offset formulation as ops/pallas_band.py: lane l of
+    anti-diagonal d holds offset o = 2l - W + (d & 1), i.e. cell
+    i = (d - o) / 2, j = (d + o) / 2.  Parents pack 16-per-uint32 along the
+    band, (steps, B, W/16) with diag d at row d-2 - W/(n+1) times smaller
+    than the full-matrix parents, which is what makes -c affordable on long
+    reads (the reference heap-allocates the full cell matrix per read,
+    team_alignment.cpp:77).
+
+    EXACTNESS: with pallas_band.certify(..., strict=True) the traceback is
+    byte-identical to the full DP's: every cell of the canonical M>I>D path
+    keeps its full-DP value in the banded sweep, and masked (out-of-band)
+    competitors can only lose harder under the first-set strictly-greater
+    rule.  Uncertified reads must be re-run through align_batch.
+    """
+    B, n = q_bytes.shape
+    m = t_bytes.shape[1]
+    W = -(-band // 16) * 16
+    half = W // 2
+    m_eff = min(m, n + W)
+    PW = W // 16
+    match = jnp.int32(match)
+    mismatch = jnp.int32(mismatch)
+    gap = jnp.int32(gap)
+    init = gap
+    NEG = jnp.int32(-(2**30))
+    dash = jnp.uint8(ord("-"))
+    ql = q_lens.astype(jnp.int32)
+    tl = jnp.minimum(t_lens.astype(jnp.int32), m_eff)
+
+    lanes = jnp.arange(W, dtype=jnp.int32)[None, :]          # (1, W)
+
+    # Band-state seeds for d=1 (see pallas_band): lane l holds q[i(l)-1]
+    # with i(l) = W/2 - l, and t[j(l)-1] with j(l) = l - W/2 + 1.
+    qi0 = jnp.clip(half - lanes - 1, 0, n - 1)
+    qd = jnp.where(half - lanes >= 1,
+                   jnp.take_along_axis(q_bytes, jnp.broadcast_to(
+                       qi0, (B, W)), axis=1), 0).astype(jnp.int32)
+    tj0 = jnp.clip(lanes - half, 0, m_eff - 1)
+    td = jnp.where(lanes - half >= 0,
+                   jnp.take_along_axis(t_bytes, jnp.broadcast_to(
+                       tj0, (B, W)), axis=1), 0).astype(jnp.int32)
+
+    h2 = jnp.where(lanes == half, 0, NEG) * jnp.ones((B, 1), jnp.int32)
+    h1 = jnp.where((lanes == half) | (lanes == half - 1), init, NEG) \
+        * jnp.ones((B, 1), jnp.int32)
+
+    score0 = jnp.zeros((B,), jnp.int32)
+
+    def step(carry, d):
+        h2, h1, qd, td, score = carry
+        p = d & 1
+        i0 = (d + W) // 2
+        j0 = d - i0
+
+        qnew = q_bytes[:, jnp.clip(i0 - 1, 0, n - 1)].astype(jnp.int32)
+        qd_shift = jnp.roll(qd, 1, axis=1).at[:, 0].set(qnew)
+        qd = jnp.where(p == 0, qd_shift, qd)
+        tnew = t_bytes[:, jnp.clip(j0 + W - 2, 0, m_eff - 1)].astype(
+            jnp.int32)
+        td_shift = jnp.roll(td, -1, axis=1).at[:, W - 1].set(tnew)
+        td = jnp.where(p == 0, td, td_shift)
+
+        h1_m = jnp.roll(h1, -1, axis=1).at[:, W - 1].set(NEG)
+        h1_p = jnp.roll(h1, 1, axis=1).at[:, 0].set(NEG)
+        up = jnp.where(p == 0, h1, h1_m)
+        left = jnp.where(p == 0, h1_p, h1)
+
+        sub = jnp.where(qd == td, match, mismatch)
+        del_cost = jnp.where(qd == jnp.int32(ord("-")), 0, gap)
+        ins_cost = jnp.where(td == jnp.int32(ord("-")), 0, gap)
+        diag_v = h2 + sub
+        left_v = left + ins_cost
+        up_v = up + del_cost
+
+        # M > I > D first-set / strictly-greater (team_alignment.cpp:104-114).
+        h = diag_v
+        parent = jnp.zeros_like(h)
+        h = jnp.where(left_v > h, left_v, h)
+        parent = jnp.where(left_v > diag_v, 1, parent)
+        take_d = up_v > h
+        h = jnp.where(take_d, up_v, h)
+        parent = jnp.where(take_d, 2, parent)
+
+        i_lane = i0 - lanes
+        j_lane = d - i_lane
+        h = jnp.where(i_lane == 0, j_lane * init, h)
+        h = jnp.where(j_lane == 0, i_lane * init, h)
+        h = jnp.where((i_lane < 0) | (j_lane < 0), NEG, h)
+
+        hit = d == (ql + tl)
+        lstar = (tl - ql + W - p) // 2
+        val = jnp.sum(jnp.where(lanes == lstar[:, None], h, 0), axis=1)
+        score = jnp.where(hit, val, score)
+
+        packed = _pack_parents(parent, PW)
+        return (h1, h, qd, td, score), packed
+
+    ds = jnp.arange(2, n + m_eff + 1, dtype=jnp.int32)
+    (_, _, _, _, score), parents = jax.lax.scan(
+        step, (h2, h1, qd, td, score0), ds)
+    return AlignOut(score=score, goal_i=ql, goal_j=tl, parents=parents)

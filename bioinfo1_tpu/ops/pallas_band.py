@@ -237,9 +237,22 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
 def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,
             t_bytes: jax.Array, t_lens: jax.Array,
             match: jax.Array, mismatch: jax.Array, gap: jax.Array,
-            band: int) -> jax.Array:
-    """(B,) bool: the banded global score provably equals the full DP's."""
-    W = _round_up(band, 128)
+            band: int, strict: bool = False,
+            lane_multiple: int = 128) -> jax.Array:
+    """(B,) bool: the banded global score provably equals the full DP's.
+
+    ``strict`` additionally guarantees the TRACEBACK is byte-identical: with
+    score > bound no out-of-band path can even tie, so the canonical M>I>D
+    path of the full DP lies entirely in-band, every cell on it keeps its
+    full-DP value, and band-masked competitors (whose values only shrink)
+    cannot flip any first-set strictly-greater parent choice.  Use it when
+    consuming align_banded_parents; the score-only fused path does not need
+    it (a tying path yields the same score).
+
+    ``lane_multiple`` must match the kernel's band rounding: 128 for the
+    Pallas kernel, 16 for the lax align_banded_parents.
+    """
+    W = _round_up(band, lane_multiple)
     ql = q_lens.astype(jnp.int32)
     tl = t_lens.astype(jnp.int32)
     diff = tl - ql
@@ -252,5 +265,6 @@ def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,
     bound = maxsub * jnp.minimum(ql, tl) + gap.astype(jnp.int32) * gaps_min
     no_dash = ~(jnp.any(q_bytes == _DASH, axis=1)
                 | jnp.any(t_bytes == _DASH, axis=1))
-    strong = (gap < 0) & no_dash & (score >= bound)
+    beats = (score > bound) if strict else (score >= bound)
+    strong = (gap < 0) & no_dash & beats
     return goal_in_band & (whole | strong)

@@ -199,10 +199,41 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
             ts.append(t)
         qa, ql = _pack_reads(qs, 1)
         ta, tl = _pack_reads(ts, 1)
-        out = al.align_batch(
-            qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
-            cfg.match, cfg.mismatch, cfg.gap,
-            want_parents=cfg.output_cigar)
+        # Long global regions take the banded parents path: the parent
+        # tensor shrinks by (n+1)/band (the -c memory/transfer hot spot) and
+        # the strict certificate guarantees byte-identical tracebacks;
+        # certificate misses re-run through the full kernel below.
+        band = 256
+        use_band = (cfg.output_cigar and cfg.align_type == "global"
+                    and qa.shape[1] > 2 * band)
+        banded = {}
+        if use_band:
+            bout = al.align_banded_parents(
+                qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap, band=band)
+            from bioinfo1_tpu.ops import pallas_band as pb
+            cert = jax.device_get(pb.certify(
+                bout.score, qa, ql, ta, tl,
+                np.int32(cfg.match), np.int32(cfg.mismatch),
+                np.int32(cfg.gap), band, strict=True, lane_multiple=16))
+            if cert.all():
+                out = bout
+                banded = {b: True for b in range(len(jobs))}
+            elif cert.any():
+                out_full = al.align_batch(
+                    qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
+                    cfg.match, cfg.mismatch, cfg.gap, want_parents=True)
+                out = out_full
+                # Scores agree where certified; keep full parents for all
+                # (simpler than stitching two parent tensors).
+            else:
+                out = al.align_batch(
+                    qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
+                    cfg.match, cfg.mismatch, cfg.gap, want_parents=True)
+        else:
+            out = al.align_batch(
+                qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
+                cfg.match, cfg.mismatch, cfg.gap,
+                want_parents=cfg.output_cigar)
         scores = jax.device_get(out.score)
         goal_i = jax.device_get(out.goal_i)
         goal_j = jax.device_get(out.goal_j)
@@ -217,7 +248,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
                     int(goal_i[b]), int(goal_j[b]), cfg.align_type,
                     int(scores[b]), cfg.match, cfg.mismatch, cfg.gap,
                     sam_convention=cfg.sam_cigar,
-                    local_target_begin_end=cfg.local_target_begin_end)
+                    local_target_begin_end=cfg.local_target_begin_end,
+                    band=(-(-band // 16) * 16) if banded.get(b) else 0)
             results[i] = ReadMapping(
                 mapped=True, is_fwd=bool(use_fwd[i]),
                 q_begin=int(q_begin[i]), q_end=int(q_end[i]),

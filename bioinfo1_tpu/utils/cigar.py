@@ -20,10 +20,19 @@ import numpy as np
 _M, _I, _D = 0, 1, 2
 
 
-def _parent(parents: np.ndarray, i: int, j: int) -> int:
-    """Parent code of interior cell (i, j); diag d=i+j stored at row d-2."""
-    word = parents[i + j - 2, i >> 4]
-    return (int(word) >> (2 * (i & 15))) & 3
+def _parent(parents: np.ndarray, i: int, j: int, band: int = 0) -> int:
+    """Parent code of interior cell (i, j); diag d=i+j stored at row d-2.
+
+    With ``band`` set, parents are in band coordinates (align_banded_parents):
+    lane l of diagonal d holds offset o = j - i = 2l - band + (d & 1).
+    """
+    d = i + j
+    if band:
+        lane = (j - i + band - (d & 1)) >> 1
+    else:
+        lane = i
+    word = parents[d - 2, lane >> 4]
+    return (int(word) >> (2 * (lane & 15))) & 3
 
 
 def compress(ops: str, sam_convention: bool = False) -> str:
@@ -48,6 +57,7 @@ def traceback(parents: np.ndarray, query: str, target: str,
               match: int, mismatch: int, gap: int,
               sam_convention: bool = False,
               local_target_begin_end: bool = False,
+              band: int = 0,
               ) -> Tuple[str, Optional[int]]:
     """Walk parents from the goal cell; returns (cigar, target_begin).
 
@@ -56,6 +66,8 @@ def traceback(parents: np.ndarray, query: str, target: str,
     H[cell] - edge (exact, see reference_model docstring) and stops at 0;
     for global/semiGlobal it walks to (0, 0) with boundary rules i==0 -> I,
     j==0 -> D (the reference's init parents, team_alignment.cpp:83-92).
+    ``band``: the parents are band-coordinate (align_banded_parents); only
+    valid for reads that pass certify(..., strict=True).
     """
     n, m = len(query), len(target)
     i, j = goal_i, goal_j
@@ -71,7 +83,7 @@ def traceback(parents: np.ndarray, query: str, target: str,
     if mode == "local":
         cost = score
         while cost > 0:
-            p = _parent(parents, i, j)
+            p = _parent(parents, i, j, band)
             cost -= edge_cost(p, i, j)
             if p == _M:
                 ops_rev.append("M"); i -= 1; j -= 1
@@ -82,7 +94,8 @@ def traceback(parents: np.ndarray, query: str, target: str,
         target_begin = goal_j + 1 if local_target_begin_end else j
     else:
         while i > 0 or j > 0:
-            p = _I if i == 0 else (_D if j == 0 else _parent(parents, i, j))
+            p = _I if i == 0 else (_D if j == 0
+                                   else _parent(parents, i, j, band))
             if i > 0 and j > 0 and p == _M:
                 ops_rev.append("M"); i -= 1; j -= 1
             elif j > 0 and p == _I:

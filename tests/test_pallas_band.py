@@ -140,3 +140,34 @@ def test_map_step_banded_exact_with_fallback():
                                   np.asarray(out_band.score))
     np.testing.assert_array_equal(np.asarray(out_full.t_begin),
                                   np.asarray(out_band.t_begin))
+
+
+def test_banded_parents_cigar_exact():
+    """align_banded_parents + strict certificate -> byte-identical CIGARs."""
+    from bioinfo1_tpu.utils import cigar as cg
+
+    pairs = _ont_like_pairs(21, 10, minlen=400, maxlen=700)
+    qs = [p[0] for p in pairs]
+    ts = [p[1] for p in pairs]
+    qa, ql = _pack(qs, max(len(s) for s in qs))
+    ta, tl = _pack(ts, max(len(s) for s in ts))
+    band = 128
+
+    full = al.align_batch(qa, ql, ta, tl, 0, 1, -1, -1, want_parents=True)
+    got = al.align_banded_parents(qa, ql, ta, tl, 1, -1, -1, band=band)
+    cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                 jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                                 band, strict=True, lane_multiple=16))
+    assert cert.all()
+    np.testing.assert_array_equal(np.asarray(got.score),
+                                  np.asarray(full.score))
+    fp = np.asarray(full.parents)
+    bp = np.asarray(got.parents)
+    for b in range(len(pairs)):
+        want_cig, _ = cg.traceback(fp[:, b, :], qs[b], ts[b],
+                                   len(qs[b]), len(ts[b]), "global",
+                                   int(full.score[b]), 1, -1, -1)
+        got_cig, _ = cg.traceback(bp[:, b, :], qs[b], ts[b],
+                                  len(qs[b]), len(ts[b]), "global",
+                                  int(got.score[b]), 1, -1, -1, band=band)
+        assert want_cig == got_cig, (b, want_cig, got_cig)
