@@ -53,14 +53,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(W, BT, n_len, m_len, n_steps,
+def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
             q_ref, ql_ref, t_ref, tl_ref, qd0_ref, td0_ref, prm_ref,
-            score_ref,
-            h2_s, h1_s, qd_s, td_s, qchunk_s, tchunk_s):
+            score_ref, par_ref,
+            h2_s, h1_s, qd_s, td_s, qchunk_s, tchunk_s, pbuf_s, dma_sem):
     match = prm_ref[0, 0]
     mismatch = prm_ref[0, 1]
     gap = prm_ref[0, 2]
     init = gap
+    tile = pl.program_id(0)
 
     ql = ql_ref[...].astype(jnp.int32)                     # (BT, 1)
     tl = tl_ref[...].astype(jnp.int32)
@@ -130,14 +131,42 @@ def _kernel(W, BT, n_len, m_len, n_steps,
         sub = jnp.where(qd == td, match, mismatch)
         del_cost = jnp.where(qd == _DASH, 0, gap)
         ins_cost = jnp.where(td == _DASH, 0, gap)
-        h = jnp.maximum(jnp.maximum(h2 + sub, left + ins_cost),
-                        up + del_cost)
+        diag_v = h2 + sub
+        left_v = left + ins_cost
+        up_v = up + del_cost
+        if want_parents:
+            # M > I > D first-set / strictly-greater priority
+            # (team_alignment.cpp:104-114).
+            h = diag_v
+            parent = jnp.zeros_like(h)
+            h = jnp.where(left_v > h, left_v, h)
+            parent = jnp.where(left_v > diag_v, 1, parent)
+            take_d = up_v > h
+            h = jnp.where(take_d, up_v, h)
+            parent = jnp.where(take_d, 2, parent)
+        else:
+            h = jnp.maximum(jnp.maximum(diag_v, left_v), up_v)
 
         i_lane = i0 - lanes
         j_lane = d - i_lane
         h = jnp.where(i_lane == 0, j_lane * init, h)       # row 0
         h = jnp.where(j_lane == 0, i_lane * init, h)       # col 0
         h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
+
+        if want_parents:
+            idx = d - 2
+            pbuf_s[jax.lax.rem(idx, CH)] = parent.astype(jnp.int8)
+
+            # Flush a full chunk (or the final partial one) to HBM.
+            @pl.when((jax.lax.rem(idx, CH) == CH - 1) | (d == d_stop))
+            def _():
+                base = pl.multiple_of(idx - jax.lax.rem(idx, CH), CH)
+                cp = pltpu.make_async_copy(
+                    pbuf_s,
+                    par_ref.at[pl.ds(base, CH), pl.ds(tile * BT, BT), :],
+                    dma_sem)
+                cp.start()
+                cp.wait()
 
         # Goal (ql, tl): captured on its anti-diagonal at its band lane.
         hit = d == (ql + tl)
@@ -157,14 +186,24 @@ def _kernel(W, BT, n_len, m_len, n_steps,
     score_ref[...] = score
 
 
-@functools.partial(jax.jit, static_argnames=("band", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "block", "interpret",
+                                              "want_parents"))
 def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
                         t_bytes: jax.Array, t_lens: jax.Array,
                         match: jax.Array, mismatch: jax.Array,
                         gap: jax.Array, band: int = 256, block: int = 32,
-                        interpret: bool = False) -> AlignOut:
+                        interpret: bool = False,
+                        want_parents: bool = False) -> AlignOut:
     """Banded global-mode scores; exact iff `certify(...)` (else a lower
-    bound of the in-band optimum).  Drop-in AlignOut like align_scores."""
+    bound of the in-band optimum).  Drop-in AlignOut like align_scores.
+
+    With ``want_parents``, parents are emitted in band coordinates packed
+    16-per-uint32 (same layout as ops.align.align_banded_parents: diag d at
+    row d-2, lane l = (j-i+W-(d&1))/2) - walk with utils.cigar.traceback
+    band=W.  The sweep streams int8 parents to HBM in 128-step chunks via
+    async DMA and packs them to 2-bit words afterwards; only reads passing
+    certify(..., strict=True) may trust them.
+    """
     B, n = q_bytes.shape
     m = t_bytes.shape[1]
     W = _round_up(band, 128)
@@ -195,13 +234,39 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     td0 = td0.at[:, half:].set(t_p[:, :half])
 
     n_steps = (n_pad - 1) + (m_eff + 1) - 1   # d = 2 .. n_pad + m_eff
-    kernel = functools.partial(_kernel, W, BT, n_pad, m_eff, n_steps)
+    CH = 128                                  # parent-flush chunk (steps)
+    steps_pad = _round_up(n_steps, CH)
+    kernel = functools.partial(_kernel, W, BT, n_pad, m_eff, n_steps,
+                               want_parents, CH)
     grid = (b_pad // BT,)
     row_spec = pl.BlockSpec((BT, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec((BT, W), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    score = pl.pallas_call(
+    out_specs = [row_spec]
+    out_shape = [jax.ShapeDtypeStruct((b_pad, 1), jnp.int32)]
+    scratch = [
+        pltpu.VMEM((BT, W), jnp.int32),
+        pltpu.VMEM((BT, W), jnp.int32),
+        pltpu.VMEM((BT, W), jnp.int32),
+        pltpu.VMEM((BT, W), jnp.int32),
+        pltpu.VMEM((BT, 128), jnp.uint8),
+        pltpu.VMEM((BT, 128), jnp.uint8),
+    ]
+    if want_parents:
+        # Whole-array HBM output; the kernel DMAs CH-step chunks into it.
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((steps_pad, b_pad, W), jnp.int8))
+        scratch += [pltpu.VMEM((CH, BT, W), jnp.int8),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, 1), jnp.int8))
+        scratch += [pltpu.VMEM((1, 1, 1), jnp.int8),
+                    pltpu.SemaphoreType.DMA]
+
+    score, par8 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -215,23 +280,26 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
             band_spec,
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((BT, W), jnp.int32),
-            pltpu.VMEM((BT, W), jnp.int32),
-            pltpu.VMEM((BT, W), jnp.int32),
-            pltpu.VMEM((BT, W), jnp.int32),
-            pltpu.VMEM((BT, 128), jnp.uint8),
-            pltpu.VMEM((BT, 128), jnp.uint8),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q_p, ql, t_p, tl, qd0, td0, prm)
 
+    if want_parents:
+        # Pack int8 parents to 2-bit, 16 lanes per uint32 word - the layout
+        # utils/cigar.py walks (and align_banded_parents emits).
+        p = par8[:, :B, :].astype(jnp.uint32)
+        p = p.reshape(steps_pad, B, W // 16, 16)
+        shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, None, :]
+        parents = jnp.sum(p << shifts, axis=-1, dtype=jnp.uint32)
+    else:
+        parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
+
     ql_out = q_lens.astype(jnp.int32)
-    tl_out = t_lens.astype(jnp.int32)
+    tl_out = jnp.minimum(t_lens.astype(jnp.int32), m_eff)
     return AlignOut(score=score[:B, 0], goal_i=ql_out, goal_j=tl_out,
-                    parents=jnp.zeros((0, 0, 0), dtype=jnp.uint32))
+                    parents=parents)
 
 
 def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,

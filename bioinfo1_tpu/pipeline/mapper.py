@@ -208,13 +208,22 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
                     and qa.shape[1] > 2 * band)
         banded = {}
         if use_band:
-            bout = al.align_banded_parents(
-                qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap, band=band)
             from bioinfo1_tpu.ops import pallas_band as pb
+            if jax.default_backend() == "tpu":
+                bout = pb.align_scores_banded(
+                    qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
+                    band=band, want_parents=True)
+                lane_mult = 128
+            else:
+                bout = al.align_banded_parents(
+                    qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
+                    band=band)
+                lane_mult = 16
             cert = jax.device_get(pb.certify(
                 bout.score, qa, ql, ta, tl,
                 np.int32(cfg.match), np.int32(cfg.mismatch),
-                np.int32(cfg.gap), band, strict=True, lane_multiple=16))
+                np.int32(cfg.gap), band, strict=True,
+                lane_multiple=lane_mult))
             if cert.all():
                 out = bout
                 banded = {b: True for b in range(len(jobs))}
@@ -249,7 +258,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
                     int(scores[b]), cfg.match, cfg.mismatch, cfg.gap,
                     sam_convention=cfg.sam_cigar,
                     local_target_begin_end=cfg.local_target_begin_end,
-                    band=(-(-band // 16) * 16) if banded.get(b) else 0)
+                    band=(-(-band // lane_mult) * lane_mult)
+                    if banded.get(b) else 0)
             results[i] = ReadMapping(
                 mapped=True, is_fwd=bool(use_fwd[i]),
                 q_begin=int(q_begin[i]), q_end=int(q_end[i]),

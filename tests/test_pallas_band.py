@@ -171,3 +171,35 @@ def test_banded_parents_cigar_exact():
                                   len(qs[b]), len(ts[b]), "global",
                                   int(got.score[b]), 1, -1, -1, band=band)
         assert want_cig == got_cig, (b, want_cig, got_cig)
+
+
+def test_pallas_banded_parents_match_lax():
+    """Pallas want_parents kernel == lax align_banded_parents.
+
+    Scores must be bit-equal; parents are compared through the traceback
+    walk (raw arrays differ only at out-of-matrix lanes, where the two
+    wrappers pad the query stream differently).
+    """
+    from bioinfo1_tpu.utils import cigar as cg
+
+    pairs = _ont_like_pairs(33, 6, minlen=200, maxlen=400)
+    qs = [p[0] for p in pairs]
+    ts = [p[1] for p in pairs]
+    qa, ql = _pack(qs, max(len(s) for s in qs))
+    ta, tl = _pack(ts, max(len(s) for s in ts))
+    lax_o = al.align_banded_parents(qa, ql, ta, tl, 1, -1, -1, band=128)
+    pal_o = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1, band=128,
+                                   block=8, interpret=True,
+                                   want_parents=True)
+    np.testing.assert_array_equal(np.asarray(lax_o.score),
+                                  np.asarray(pal_o.score))
+    lp = np.asarray(lax_o.parents)
+    pp = np.asarray(pal_o.parents)
+    for b in range(len(pairs)):
+        c1, _ = cg.traceback(lp[:, b, :], qs[b], ts[b], len(qs[b]),
+                             len(ts[b]), "global", int(lax_o.score[b]),
+                             1, -1, -1, band=128)
+        c2, _ = cg.traceback(pp[:, b, :], qs[b], ts[b], len(qs[b]),
+                             len(ts[b]), "global", int(pal_o.score[b]),
+                             1, -1, -1, band=128)
+        assert c1 == c2, (b, c1, c2)
