@@ -53,9 +53,8 @@ def measure_ours(genome, reads, lens):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    platform = os.environ.get("BIOINFO1_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
+    from bioinfo1_tpu.utils.runtime import configure_jax
+    configure_jax()
     from bioinfo1_tpu.index import builder
     from bioinfo1_tpu.pipeline import device_map as dm
 

@@ -69,15 +69,9 @@ def main(argv: Optional[List[str]] = None,
     out = stdout if stdout is not None else sys.stdout
     err = stderr if stderr is not None else sys.stderr
 
-    # BIOINFO1_PLATFORM=cpu|tpu|axon pins the JAX backend.  The plain
-    # JAX_PLATFORMS env var is NOT honored here: the axon TPU plugin
-    # force-registers itself and overrides it; only a config.update before
-    # first backend use wins.
-    import os
-    platform = os.environ.get("BIOINFO1_PLATFORM")
-    if platform:
-        import jax
-        jax.config.update("jax_platforms", platform)
+    # Backend pinning (BIOINFO1_PLATFORM) + persistent compile cache.
+    from bioinfo1_tpu.utils.runtime import configure_jax
+    configure_jax()
 
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
 
