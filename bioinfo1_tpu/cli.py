@@ -20,6 +20,7 @@ Extensions (not in the reference; all opt-in, prefixed ``--``):
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
