@@ -1,0 +1,100 @@
+"""On-device traceback walk over packed parent diagonals.
+
+The wavefront kernels leave 2-bit parents on the device ((S, B, PW) uint32,
+16 lanes/word).  Fetching that tensor to walk it on the host costs two ways:
+the device->host transfer (the -c bottleneck: 17-269 MB per batch) and a
+serial Python walk (~10^4 loop iterations per read).  This walk runs as ONE
+lax.scan over the whole batch instead: each step gathers one parent word per
+read and advances every read's (i, j) cursor in lockstep; the fetched result
+is a (steps, B) uint8 op-code tensor (~300 KB) that the host merely
+run-length encodes (vectorized numpy, utils/cigar.cigar_from_codes).
+
+Walk semantics mirror utils/cigar.traceback exactly (which mirrors the
+reference, team_alignment.cpp:122-161/201-238/286-335):
+  * global/semiGlobal: walk to (0,0); boundary rules i==0 -> I, j==0 -> D,
+  * local: maintain the running cost and stop at 0 (literal '-' edges cost
+    0, team_alignment.cpp:25-28),
+  * op codes: 0=M, 1=I, 2=D, 255=done.
+
+Supports both parent layouts: full (lane = i) and banded (lane =
+(j - i + band - (d & 1)) / 2, see ops/pallas_band.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+OP_M, OP_I, OP_D, OP_DONE = 0, 1, 2, 255
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "band"))
+def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
+                 score: jax.Array, q_bytes: jax.Array, t_bytes: jax.Array,
+                 match: jax.Array, mismatch: jax.Array, gap: jax.Array,
+                 mode: int, band: int = 0) -> jax.Array:
+    """(steps, B) uint8 op codes, goal -> origin order.
+
+    Args:
+      parents: (S, B, PW) uint32 packed parents (diag d at row d-2).
+      goal_i/goal_j: (B,) traceback start cells.
+      score: (B,) DP scores (local mode's stop counter; ignored otherwise).
+      q_bytes/t_bytes: (B, n)/(B, m) region bytes (local edge costs).
+      mode: 0 global / 1 local / 2 semiGlobal (static).
+      band: 0 for full-layout parents, else the band width W (static).
+    """
+    S, B, PW = parents.shape
+    flat = parents.reshape(-1)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    match = jnp.int32(match)
+    mismatch = jnp.int32(mismatch)
+    gap = jnp.int32(gap)
+    dash = jnp.int32(ord("-"))
+    qn = q_bytes.shape[1]
+    tm = t_bytes.shape[1]
+
+    def parent_at(i, j):
+        d = i + j
+        if band:
+            lane = (j - i + band - (d & 1)) >> 1
+        else:
+            lane = i
+        idx = ((jnp.clip(d - 2, 0, S - 1)) * B + rows) * PW + (lane >> 4)
+        word = jnp.take(flat, idx)
+        return ((word >> (2 * (lane & 15).astype(jnp.uint32)))
+                & 3).astype(jnp.int32)
+
+    def byte_at(arr, pos, width):
+        idx = rows * width + jnp.clip(pos, 0, width - 1)
+        return jnp.take(arr.reshape(-1), idx).astype(jnp.int32)
+
+    def step(carry, _):
+        i, j, cost = carry
+        p_in = parent_at(i, j)
+        if mode == 1:  # local: stop at cost 0
+            active = cost > 0
+            p = p_in
+            qc = byte_at(q_bytes, i - 1, qn)
+            tc = byte_at(t_bytes, j - 1, tm)
+            edge = jnp.where(
+                p == OP_M, jnp.where(qc == tc, match, mismatch),
+                jnp.where(p == OP_I,
+                          jnp.where(tc == dash, 0, gap),
+                          jnp.where(qc == dash, 0, gap)))
+            cost = jnp.where(active, cost - edge, cost)
+        else:
+            active = (i > 0) | (j > 0)
+            p = jnp.where(i == 0, OP_I, jnp.where(j == 0, OP_D, p_in))
+        code = jnp.where(active, p, OP_DONE).astype(jnp.uint8)
+        di = jnp.where((p == OP_M) | (p == OP_D), 1, 0)
+        dj = jnp.where((p == OP_M) | (p == OP_I), 1, 0)
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        return (i, j, cost), code
+
+    carry0 = (goal_i.astype(jnp.int32), goal_j.astype(jnp.int32),
+              score.astype(jnp.int32))
+    _, codes = jax.lax.scan(step, carry0, None, length=S + 2)
+    return codes

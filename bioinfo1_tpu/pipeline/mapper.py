@@ -246,20 +246,28 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         scores = jax.device_get(out.score)
         goal_i = jax.device_get(out.goal_i)
         goal_j = jax.device_get(out.goal_j)
-        parents = jax.device_get(out.parents) if cfg.output_cigar else None
+        codes = None
+        if cfg.output_cigar:
+            # Device traceback walk: the packed parents stay on the device;
+            # only a (steps, B) uint8 op-code tensor crosses to the host
+            # (ops/trace.py) - no 10^2 MB parents fetch, no per-base Python.
+            from bioinfo1_tpu.ops import trace as tr
+            walk_band = (-(-band // lane_mult) * lane_mult) if banded else 0
+            codes = jax.device_get(tr.walk_parents(
+                out.parents, out.goal_i, out.goal_j, out.score,
+                qa, ta, cfg.match, cfg.mismatch, cfg.gap,
+                mode=al.MODE_BY_NAME[cfg.align_type], band=walk_band))
 
         for b, i in enumerate(jobs):
             cigar = None
             target_begin = None
             if cfg.output_cigar:
-                cigar, target_begin = cg.traceback(
-                    parents[:, b, :], qs[b], ts[b],
-                    int(goal_i[b]), int(goal_j[b]), cfg.align_type,
-                    int(scores[b]), cfg.match, cfg.mismatch, cfg.gap,
+                cigar, target_begin = cg.cigar_from_codes(
+                    codes[:, b], cfg.align_type,
+                    int(goal_i[b]), int(goal_j[b]),
+                    len(qs[b]), len(ts[b]),
                     sam_convention=cfg.sam_cigar,
-                    local_target_begin_end=cfg.local_target_begin_end,
-                    band=(-(-band // lane_mult) * lane_mult)
-                    if banded.get(b) else 0)
+                    local_target_begin_end=cfg.local_target_begin_end)
             results[i] = ReadMapping(
                 mapped=True, is_fwd=bool(use_fwd[i]),
                 q_begin=int(q_begin[i]), q_end=int(q_end[i]),

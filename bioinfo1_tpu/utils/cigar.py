@@ -52,6 +52,40 @@ def compress(ops: str, sam_convention: bool = False) -> str:
     return "".join(out)
 
 
+def cigar_from_codes(codes: np.ndarray, mode: str, goal_i: int, goal_j: int,
+                     n: int, m: int, sam_convention: bool = False,
+                     local_target_begin_end: bool = False,
+                     ) -> Tuple[str, Optional[int]]:
+    """Decode one read's device-walk op codes (ops/trace.py) into a CIGAR.
+
+    ``codes`` is (steps,) uint8 in goal->origin order, 255-padded after the
+    walk ends.  Run-length encoding is vectorized numpy - the host does no
+    per-base Python loop (the device walk replaced it).
+    """
+    end = np.argmax(codes == 255) if (codes == 255).any() else len(codes)
+    ops = codes[:end][::-1]                       # origin -> goal order
+    if mode == "local":
+        consumed_j = int(np.count_nonzero(ops != 2))   # M or I move j
+        target_begin = (goal_j + 1 if local_target_begin_end
+                        else goal_j - consumed_j)
+    else:
+        target_begin = 0
+    if mode == "semiGlobal" and (goal_j != m or goal_i != n):
+        # Pad to the corner (team_alignment.cpp:306-315).
+        if goal_i == n:
+            ops = np.concatenate([ops, np.full(m - goal_j, 1, np.uint8)])
+        elif goal_j == m:
+            ops = np.concatenate([ops, np.full(n - goal_i, 2, np.uint8)])
+    if len(ops) == 0:
+        return "", target_begin
+    letters = np.array(["M", "D", "I"] if sam_convention else ["M", "I", "D"])
+    bounds = np.flatnonzero(ops[1:] != ops[:-1])
+    starts = np.concatenate([[0], bounds + 1])
+    ends = np.concatenate([bounds + 1, [len(ops)]])
+    parts = [f"{e - s}{letters[ops[s]]}" for s, e in zip(starts, ends)]
+    return "".join(parts), target_begin
+
+
 def traceback(parents: np.ndarray, query: str, target: str,
               goal_i: int, goal_j: int, mode: str, score: int,
               match: int, mismatch: int, gap: int,
