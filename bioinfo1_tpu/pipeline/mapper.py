@@ -387,18 +387,24 @@ class Mapper:
             for bucket in buckets:
                 idxs = [pending[j] for j in bucket]
                 sub = [seqs[i] for i in idxs]
+                # Budget scales with the bucket's read length (a read has
+                # ~2L/(w+1) minimizers, typically ~1 hit each), so long
+                # reads don't start at a budget they are guaranteed to
+                # overflow; retries keep doubling from there.
+                max_len = max(len(s) for s in sub)
+                b_budget = _pow2_at_least(max(budget, max_len // 2), 8)
+                b_budget *= 1 << (attempts - 1)
                 if fused:
-                    res, retry = self._map_bucket_fused(sub, budget)
+                    res, retry = self._map_bucket_fused(sub, b_budget)
                 else:
-                    res, retry = _map_bucket(sub, self.index, cfg, budget)
+                    res, retry = _map_bucket(sub, self.index, cfg, b_budget)
                 for loc, i in enumerate(idxs):
                     if loc in retry:
                         next_pending.append(i)
                     else:
                         results[i] = res[loc]
             pending = next_pending
-            budget *= 2
-            if budget > 1 << 24:  # safety: ~16M matches per read
+            if attempts >= 24:  # safety: ~16M matches per read
                 for i in pending:
                     results[i] = ReadMapping(mapped=False)
                 break
