@@ -168,50 +168,6 @@ def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
     return mf, mr
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_matches", "shift", "probe"))
-def find_matches_runs(min_hash: jax.Array, min_pos: jax.Array,
-                      keep: jax.Array,
-                      run_hash: jax.Array, run_start: jax.Array,
-                      run_cnt_f: jax.Array, run_cnt_r: jax.Array,
-                      bucket_off: jax.Array, key_pos: jax.Array,
-                      shift: int, probe: int, max_matches: int) -> tuple:
-    """Both strands' matches via ONE wide contiguous probe over hash runs.
-
-    The run table compacts the combined sorted table to one entry per
-    DISTINCT hash (run start offset + per-strand counts); its bucket
-    directory is sized at build time so every bucket holds <= ``probe``
-    runs.  A lookup is then two dependent latency rounds - bucket_off[b],
-    then a (probe,)-wide contiguous gather of run entries compared against
-    the query - replacing the ``bsearch_steps`` sequential rounds of
-    find_matches_combined.  Probing past the bucket end is harmless: run
-    hashes are distinct, so equality identifies the unique run regardless
-    of which bucket the window spills into.
-
-    Bit-identical to find_matches_combined (same sorted table underneath);
-    gather rounds: 2 (probe) + ~4 (_compact) vs ~7 + ~4.
-    """
-    D = run_hash.shape[0]
-    q = min_hash.astype(jnp.uint32)
-    b = jax.lax.shift_right_logical(q, jnp.uint32(shift)).astype(jnp.int32)
-    lo0 = jnp.take(bucket_off, b)                               # (B, T)
-    offs = jnp.minimum(lo0[..., None]
-                       + jnp.arange(probe, dtype=jnp.int32), D - 1)
-    rh = jnp.take(run_hash, offs)                               # (B, T, C)
-    wf = jnp.take(run_cnt_f, offs)
-    wr = jnp.take(run_cnt_r, offs)
-    ws = jnp.take(run_start, offs)
-    eq = rh == q[..., None]
-    found = jnp.any(eq, axis=-1) & keep
-    sel = jnp.argmax(eq, axis=-1)[..., None]
-    cf = jnp.where(found, jnp.take_along_axis(wf, sel, -1)[..., 0], 0)
-    cr = jnp.where(found, jnp.take_along_axis(wr, sel, -1)[..., 0], 0)
-    st = jnp.take_along_axis(ws, sel, -1)[..., 0]
-    mf = _compact(cf, st, min_pos, key_pos, max_matches)
-    mr = _compact(cr, st + cf, min_pos, key_pos, max_matches)
-    return mf, mr
-
-
 @functools.partial(jax.jit, static_argnames=("max_matches",))
 def find_matches(min_hash: jax.Array, min_pos: jax.Array, keep: jax.Array,
                  idx_hash: jax.Array, idx_pos: jax.Array,

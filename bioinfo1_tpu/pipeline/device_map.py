@@ -53,21 +53,9 @@ class DeviceIndex:
     bucket_off: jax.Array     # (2^bb + 1,) int32
     ref_bytes: jax.Array      # (2, ref_pad) uint8
     ref_len: jax.Array        # () int32
-    # Run table: one entry per DISTINCT hash (start offset into the sorted
-    # table + per-strand counts), with its own finer directory sized so that
-    # every bucket holds <= run_probe runs.  Lookup = one wide contiguous
-    # gather instead of the binary search (ops/match.find_matches_runs).
-    run_hash: jax.Array       # (D,) uint32, padded with 0xFFFFFFFF
-    run_start: jax.Array      # (D,) int32
-    run_cnt_f: jax.Array      # (D,) int32
-    run_cnt_r: jax.Array      # (D,) int32
-    run_bucket_off: jax.Array  # (2^rb + 1,) int32
     shift: int = dataclasses.field(default=0, metadata=dict(static=True))
     bsearch_steps: int = dataclasses.field(default=21,
                                            metadata=dict(static=True))
-    run_shift: int = dataclasses.field(default=0, metadata=dict(static=True))
-    run_probe: int = dataclasses.field(default=0,  # 0 = binary-search path
-                                       metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -142,45 +130,6 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     max_bucket = int(np.diff(bo).max()) if U else 1
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
-    # Run table (distinct hashes) + its directory, sized so the widest
-    # bucket fits one contiguous probe window (<= 32 entries).
-    D = len(starts)
-    run_h = ks[starts].astype(np.uint32) if D else np.zeros(0, np.uint32)
-    Dp = 8
-    while Dp < max(D, 1):
-        Dp *= 2
-    run_hash = np.full(Dp, 0xFFFFFFFF, np.uint32)
-    run_start = np.zeros(Dp, np.int32)
-    run_f = np.zeros(Dp, np.int32)
-    run_r = np.zeros(Dp, np.int32)
-    if D:
-        run_hash[:D] = run_h
-        run_start[:D] = starts.astype(np.int32)
-        run_f[:D] = cnt_f[starts]
-        run_r[:D] = cnt_r[starts]
-
-    def run_directory(rb):
-        rshift = max(0, hash_bits - rb)
-        redges = np.arange(1 << rb, dtype=np.uint64) << np.uint64(rshift)
-        rbo = np.searchsorted(run_h, redges, side="left").astype(np.int32)
-        rbo = np.append(rbo, D).astype(np.int32)
-        max_runs = int(np.diff(rbo).max()) if D else 0
-        return rshift, rbo, max_runs
-
-    rb = max(1, min(hash_bits, (max(D, 2) - 1).bit_length() + 3, 24))
-    rshift, rbo, max_runs = run_directory(rb)
-    while max_runs > 32 and rb < min(hash_bits, 26):
-        rb += 1
-        rshift, rbo, max_runs = run_directory(rb)
-    if max_runs > 32:
-        probe = 0                      # fall back to the binary-search path
-        rbo = np.zeros(2, np.int32)
-        rshift = 0
-    else:
-        probe = 1
-        while probe < max(max_runs, 1):
-            probe *= 2
-
     L = int(index.ref_len)
     cap = 16
     while cap < L:
@@ -195,11 +144,7 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
         cnt_f=jnp.asarray(cnt_f), cnt_r=jnp.asarray(cnt_r),
         bucket_off=jnp.asarray(bo),
         ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L),
-        run_hash=jnp.asarray(run_hash), run_start=jnp.asarray(run_start),
-        run_cnt_f=jnp.asarray(run_f), run_cnt_r=jnp.asarray(run_r),
-        run_bucket_off=jnp.asarray(rbo),
-        shift=shift, bsearch_steps=steps,
-        run_shift=rshift, run_probe=probe)
+        shift=shift, bsearch_steps=steps)
 
 
 def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
@@ -248,17 +193,10 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     keep_cap = min(mres.hashes.shape[1], budget)
     q_hash, q_pos, q_keep, q_over = match_ops.compact_queries(
         mres.hashes, mres.pos, mres.dedup_keep, keep_cap)
-    if index.run_probe > 0:
-        got_f, got_r = match_ops.find_matches_runs(
-            q_hash, q_pos, q_keep,
-            index.run_hash, index.run_start, index.run_cnt_f,
-            index.run_cnt_r, index.run_bucket_off, index.key_pos,
-            index.run_shift, index.run_probe, budget)
-    else:
-        got_f, got_r = match_ops.find_matches_combined(
-            q_hash, q_pos, q_keep,
-            index.key_hash, index.key_pos, index.cnt_f, index.cnt_r,
-            index.bucket_off, index.shift, index.bsearch_steps, budget)
+    got_f, got_r = match_ops.find_matches_combined(
+        q_hash, q_pos, q_keep,
+        index.key_hash, index.key_pos, index.cnt_f, index.cnt_r,
+        index.bucket_off, index.shift, index.bsearch_steps, budget)
     if use_pallas:
         from bioinfo1_tpu.ops import pallas_chain
         chain_fn = pallas_chain.lis_chain

@@ -104,41 +104,6 @@ def test_sharded_step_matches_single(problem):
             jax.device_get(getattr(multi, field)), err_msg=field)
 
 
-@pytest.mark.parametrize("k,w", [(K, W), (3, 2), (15, 5)])
-def test_run_probe_matches_binary_search(k, w):
-    """find_matches_runs is bit-identical to find_matches_combined."""
-    from bioinfo1_tpu.ops import match as match_ops
-    from bioinfo1_tpu.ops import minimizer as mz
-    rng = random.Random(k * 100 + w)
-    genome = "".join(rng.choice("ACGT") for _ in range(20000))
-    index = builder.build_index(genome, k, w, 0.0005)
-    didx = dm.device_index_from_host(index)
-    assert didx.run_probe > 0
-    reads = np.zeros((8, 512), dtype=np.uint8)
-    lens = np.full((8,), 512, dtype=np.int32)
-    for i in range(8):
-        start = rng.randrange(0, len(genome) - 512)
-        frag = "".join(c if rng.random() > 0.05 else rng.choice("ACGT")
-                       for c in genome[start:start + 512])
-        reads[i] = np.frombuffer(frag.encode(), dtype=np.uint8)
-    mres = mz.minimize_batch(jnp.asarray(reads), jnp.asarray(lens), k, w)
-    q_hash, q_pos, q_keep, _ = match_ops.compact_queries(
-        mres.hashes, mres.pos, mres.dedup_keep, 512)
-    want_f, want_r = match_ops.find_matches_combined(
-        q_hash, q_pos, q_keep, didx.key_hash, didx.key_pos,
-        didx.cnt_f, didx.cnt_r, didx.bucket_off,
-        didx.shift, didx.bsearch_steps, 512)
-    got_f, got_r = match_ops.find_matches_runs(
-        q_hash, q_pos, q_keep, didx.run_hash, didx.run_start,
-        didx.run_cnt_f, didx.run_cnt_r, didx.run_bucket_off,
-        didx.key_pos, didx.run_shift, didx.run_probe, 512)
-    for want, got in ((want_f, got_f), (want_r, got_r)):
-        for field in ("f_pos", "r_pos", "count", "total", "overflow"):
-            np.testing.assert_array_equal(
-                jax.device_get(getattr(want, field)),
-                jax.device_get(getattr(got, field)), err_msg=field)
-
-
 def test_match_budget_overflow_flag(problem):
     genome, index, didx, reads, arr, lens = problem
     out = dm.map_step(jnp.asarray(arr), jnp.asarray(lens), didx,
