@@ -127,23 +127,30 @@ def compact_queries(min_hash: jax.Array, min_pos: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_matches", "shift", "steps"))
+                   static_argnames=("max_matches", "shift", "steps",
+                                    "cnt_shift"))
 def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
                           keep: jax.Array,
                           key_hash: jax.Array, key_pos: jax.Array,
-                          cnt_f: jax.Array, cnt_r: jax.Array,
+                          cnt_fr: jax.Array, cnt_r2: jax.Array,
                           bucket_off: jax.Array,
                           shift: int, steps: int,
-                          max_matches: int) -> tuple:
+                          max_matches: int, cnt_shift: int = 16) -> tuple:
     """Both strands' matches from ONE combined sorted table.
 
     The combined index stores all (hash, strand, pos) entries sorted
-    lexicographically with fwd (strand 0) before rev; cnt_f/cnt_r hold, at
-    each hash run's first entry, the per-strand entry counts.  One bucketed
-    binary search (top `bb` hash bits -> bucket_off window, then `steps`
-    rounds) finds the run start; the fwd range is [lo, lo+cnt_f) and the rev
-    range [lo+cnt_f, lo+cnt_f+cnt_r) - no second search, no per-strand
-    table.  ~5x fewer HBM gather rounds than two searchsorted lookups.
+    lexicographically with fwd (strand 0) before rev.  Per-strand run-length
+    counts live at each hash run's first entry, PACKED into one uint32
+    (fwd in the low ``cnt_shift`` bits, rev above) so one gather round
+    serves both strands; the build picks ``cnt_shift`` from the actual max
+    run lengths, and for pathological indexes whose counts cannot share 32
+    bits it sets ``cnt_shift=0``: then ``cnt_fr`` holds the fwd counts and
+    the separate ``cnt_r2`` table (size-1 dummy otherwise) is gathered for
+    the rev counts.  One bucketed binary search (top `bb` hash bits ->
+    bucket_off window, then `steps` rounds) finds the run start; the fwd
+    range is [lo, lo+cnt_f) and the rev range [lo+cnt_f, lo+cnt_f+cnt_r) -
+    no second search, no per-strand table.  ~5x fewer HBM gather rounds
+    than two searchsorted lookups.
 
     Returns (fwd Matches, rev Matches), bit-identical to find_matches on the
     per-strand tables.
@@ -161,8 +168,14 @@ def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
         hi = jnp.where(go, hi, mid)
     loc = jnp.clip(lo, 0, U - 1)
     present = (jnp.take(key_hash, loc) == q) & keep
-    cf = jnp.where(present, jnp.take(cnt_f, loc), 0)
-    cr = jnp.where(present, jnp.take(cnt_r, loc), 0)
+    if cnt_shift:
+        both = jnp.where(present, jnp.take(cnt_fr, loc), jnp.uint32(0))
+        cf = (both & jnp.uint32((1 << cnt_shift) - 1)).astype(jnp.int32)
+        cr = jax.lax.shift_right_logical(
+            both, jnp.uint32(cnt_shift)).astype(jnp.int32)
+    else:
+        cf = jnp.where(present, jnp.take(cnt_fr, loc), 0).astype(jnp.int32)
+        cr = jnp.where(present, jnp.take(cnt_r2, loc), 0).astype(jnp.int32)
     mf = _compact(cf, lo, min_pos, key_pos, max_matches)
     mr = _compact(cr, lo + cf, min_pos, key_pos, max_matches)
     return mf, mr

@@ -34,28 +34,35 @@ class DeviceIndex:
 
     All (hash, strand, pos) entries of BOTH strand indexes live in one
     lexicographically sorted table (fwd entries first within a hash run);
-    cnt_f/cnt_r hold the per-strand run sizes at each run's first entry, so
-    one lookup serves both strands.  bucket_off[b] is the table offset of
-    the first hash with top bits b (hash >> shift == b): a probe narrows to
-    its bucket with two O(1) gathers and finishes with `bsearch_steps`
-    binary-search rounds (log2 of the largest bucket - 4 for E. coli).
+    cnt_fr packs the per-strand run sizes (fwd low bits, rev above
+    ``cnt_shift``) at each run's first entry, so ONE lookup + ONE count
+    gather serve both strands.  bucket_off[b] is the table offset of the
+    first hash with top bits b (hash >> shift == b): a probe narrows to its
+    bucket with two O(1) gathers and finishes with `bsearch_steps`
+    binary-search rounds (log2 of the largest bucket - 3 for E. coli at the
+    24-bit directory).
 
     ref_bytes stacks the forward and reverse-complement strand sequences as
     (2, ref_pad) uint8 so strand selection is a row index.
 
-    shift/bsearch_steps are static metadata (jit specialization keys).
+    shift/bsearch_steps/cnt_shift are static metadata (jit specialization
+    keys).  cnt_shift=0 is the unpacked fallback for pathological indexes
+    whose max run lengths cannot share 32 bits: cnt_fr then holds fwd
+    counts and cnt_r2 (a size-1 dummy otherwise) the rev counts.
     """
 
     key_hash: jax.Array       # (U,) uint32 sorted, padded with 0xFFFFFFFF
     key_pos: jax.Array        # (U,) int32 1-based strand positions
-    cnt_f: jax.Array          # (U,) int32, valid at hash-run starts
-    cnt_r: jax.Array
+    cnt_fr: jax.Array         # (U,) uint32 packed counts at hash-run starts
+    cnt_r2: jax.Array         # (1,) dummy, or (U,) int32 when cnt_shift=0
     bucket_off: jax.Array     # (2^bb + 1,) int32
     ref_bytes: jax.Array      # (2, ref_pad) uint8
     ref_len: jax.Array        # () int32
     shift: int = dataclasses.field(default=0, metadata=dict(static=True))
     bsearch_steps: int = dataclasses.field(default=21,
                                            metadata=dict(static=True))
+    cnt_shift: int = dataclasses.field(default=16,
+                                       metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -108,10 +115,25 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     ends = np.append(starts[1:], U)
     cum_s = np.concatenate([[0], np.cumsum(ss, dtype=np.int64)])
     rev_in = (cum_s[ends] - cum_s[starts]).astype(np.int32)
-    cnt_f = np.zeros(Up, np.int32)
-    cnt_r = np.zeros(Up, np.int32)
-    cnt_f[starts] = (ends - starts).astype(np.int32) - rev_in
+    cnt_f = np.zeros(Up, np.int64)
+    cnt_r = np.zeros(Up, np.int64)
+    cnt_f[starts] = (ends - starts) - rev_in
     cnt_r[starts] = rev_in
+    # Pack both strands' counts into one uint32 so the lookup pays a single
+    # count-gather round; split point from the actual max run lengths, with
+    # the unpacked two-table fallback when they cannot share 32 bits.
+    bits_f = max(1, int(cnt_f.max()).bit_length()) if U else 1
+    bits_r = max(1, int(cnt_r.max()).bit_length()) if U else 1
+    if bits_f + bits_r <= 32:
+        # Canonical 16/16 split whenever it fits (stable jit key across
+        # genomes); otherwise the tightest valid split.
+        cnt_shift = 16 if (bits_f <= 16 and bits_r <= 16) else bits_f
+        cnt_fr = (cnt_f | (cnt_r << cnt_shift)).astype(np.uint32)
+        cnt_r2 = np.zeros(1, np.int32)
+    else:
+        cnt_shift = 0
+        cnt_fr = cnt_f.astype(np.uint32)
+        cnt_r2 = cnt_r.astype(np.int32)
     # Sentinel pads sort after every real hash; their counts are 0, so a
     # probe landing on them reports no hits.
     ksp = np.full(Up, 0xFFFFFFFF, np.uint32)
@@ -119,9 +141,11 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     psp = np.zeros(Up, np.int32)
     psp[:U] = ps
 
-    # Bucket directory over the top bb hash bits.
+    # Bucket directory over the top bb hash bits.  24 bits (64 MB) instead
+    # of 22 shaves one binary-search round at E. coli scale; the size guard
+    # keeps the directory within ~16x the table itself for small genomes.
     hash_bits = 2 * int(index.k)
-    bb = max(1, min(22, hash_bits, (max(U, 2) - 1).bit_length() + 3))
+    bb = max(1, min(24, hash_bits, (max(U, 2) - 1).bit_length() + 4))
     shift = max(0, hash_bits - bb)
     edges = (np.arange(1 << bb, dtype=np.uint64) << np.uint64(shift))
     bo = np.searchsorted(ks, edges.astype(np.uint64),
@@ -141,10 +165,10 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
                                dtype=np.uint8)
     return DeviceIndex(
         key_hash=jnp.asarray(ksp), key_pos=jnp.asarray(psp),
-        cnt_f=jnp.asarray(cnt_f), cnt_r=jnp.asarray(cnt_r),
+        cnt_fr=jnp.asarray(cnt_fr), cnt_r2=jnp.asarray(cnt_r2),
         bucket_off=jnp.asarray(bo),
         ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L),
-        shift=shift, bsearch_steps=steps)
+        shift=shift, bsearch_steps=steps, cnt_shift=cnt_shift)
 
 
 def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
@@ -195,8 +219,9 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         mres.hashes, mres.pos, mres.dedup_keep, keep_cap)
     got_f, got_r = match_ops.find_matches_combined(
         q_hash, q_pos, q_keep,
-        index.key_hash, index.key_pos, index.cnt_f, index.cnt_r,
-        index.bucket_off, index.shift, index.bsearch_steps, budget)
+        index.key_hash, index.key_pos, index.cnt_fr, index.cnt_r2,
+        index.bucket_off, index.shift, index.bsearch_steps, budget,
+        index.cnt_shift)
     if use_pallas:
         from bioinfo1_tpu.ops import pallas_chain
         chain_fn = pallas_chain.lis_chain
