@@ -24,7 +24,6 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from bioinfo1_tpu.ops import minimizer as mz
 from bioinfo1_tpu import reference_model as rm
 
 
@@ -59,10 +58,6 @@ class IndexArrays:
     ref_rev_seq: Optional[str] = None
 
 
-#: Dense windows per device tile.  One canonical compile of
-#: dense_window_min_batch serves every genome; E. coli (4.6 Mbp) is ~36 tiles.
-TILE_WINDOWS = 1 << 17
-
 _BASE_CODE = np.zeros(256, dtype=np.uint32)
 for _c, _v in zip(b"CATG", (0, 1, 2, 3)):
     _BASE_CODE[_c] = _v
@@ -85,10 +80,9 @@ def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int,
     """All window-win (hash, 1-based pos) pairs of one genome strand,
     duplicates included (order is irrelevant - the index sorts).
 
-    Dense windows run on device over fixed-shape tiles; the <= 2(w-1)
-    end-windows (team_minimizers.cpp:146-170, 197-222) are host-side numpy.
+    Dense windows are a vectorized host sweep (see inline note); the
+    <= 2(w-1) end-windows (team_minimizers.cpp:146-170, 197-222) too.
     """
-    import jax
     L = len(seq_bytes)
     nk = L - k + 1
     if nk <= 0:
@@ -126,22 +120,23 @@ def _strand_sweep(seq_bytes: np.ndarray, k: int, w: int,
 
     nd = nk - w + 1
     if nd > 0:
-        # Dense windows, tiled.  Tile t covers window starts [t*T, t*T + T)
-        # and needs bases [t*T, t*T + T + w + k - 2).
-        T = TILE_WINDOWS
-        in_len = T + w + k - 2
-        n_tiles = -(-nd // T)
-        b_pad = 1
-        while b_pad < n_tiles:
-            b_pad *= 2
-        tiles = np.zeros((b_pad, in_len), dtype=np.uint8)
-        for t in range(n_tiles):
-            chunk = seq_bytes[t * T: t * T + in_len]
-            tiles[t, : len(chunk)] = chunk
-        th, tp = jax.device_get(mz.dense_window_min_batch(tiles, k, w))
-        th = th[:n_tiles].reshape(-1)[:nd].astype(np.uint32)
-        tp = (tp[:n_tiles] + (np.arange(n_tiles, dtype=np.int32) * T)[:, None])
-        tp = tp.reshape(-1)[:nd].astype(np.int32)
+        # Dense windows, vectorized on the host.  The genome sweep happens
+        # ONCE per index build, so a device launch buys nothing and costs a
+        # ~67 MB/strand round-trip (which dominated index build over the
+        # remote-TPU link: 174 s -> <0.2 s with this path).  The per-READ
+        # sweep stays on device (ops/minimizer.py) where it amortizes into
+        # the fused mapping step.  Semantics identical to the reference's
+        # GetTupleWithMinFirst strict '<' left scan (team_minimizers.cpp:
+        # 106-120): leftmost window minimum.
+        kh = _host_kmer_hashes(seq_bytes, k)          # (nk,) uint32
+        th = kh[:nd].copy()
+        off = np.zeros(nd, dtype=np.int32)
+        for j in range(1, w):
+            cand = kh[j:j + nd]
+            upd = cand < th
+            th[upd] = cand[upd]
+            off[upd] = j
+        tp = np.arange(nd, dtype=np.int32) + off + 1  # 1-based positions
     else:
         th = np.zeros((0,), dtype=np.uint32)
         tp = np.zeros((0,), dtype=np.int32)
