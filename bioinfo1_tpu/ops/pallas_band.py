@@ -255,13 +255,13 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     ]
     if want_parents:
         # Whole-array HBM output; the kernel DMAs CH-step chunks into it.
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
             jax.ShapeDtypeStruct((steps_pad, b_pad, W), jnp.int8))
         scratch += [pltpu.VMEM((CH, BT, W), jnp.int8),
                     pltpu.SemaphoreType.DMA]
     else:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct((1, 1, 1), jnp.int8))
         scratch += [pltpu.VMEM((1, 1, 1), jnp.int8),
                     pltpu.SemaphoreType.DMA]
