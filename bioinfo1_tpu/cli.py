@@ -50,6 +50,21 @@ HELP_TEXT = (
 )
 
 
+def _atof(s: str) -> float:
+    """std::atof semantics: parse the longest leading float, 0.0 on failure
+    (the reference parses -f with atof at team_mapper.cpp:374)."""
+    import re
+    m = re.match(
+        r"\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?"
+        r"|\s*[+-]?(inf(inity)?|nan)", s, re.IGNORECASE)
+    if not m:
+        return 0.0
+    try:
+        return float(m.group(0))
+    except ValueError:
+        return 0.0
+
+
 def _atoi(s: str) -> int:
     """std::atoi semantics: parse leading integer, 0 on failure."""
     s = s.strip()
@@ -121,7 +136,7 @@ def main(argv: Optional[List[str]] = None,
         elif a == "-w" and i + 1 < len(argv):
             i += 1; cfg.w = _atoi(argv[i])
         elif a == "-f" and i + 1 < len(argv):
-            i += 1; cfg.f = float(argv[i])
+            i += 1; cfg.f = _atof(argv[i])
         elif a == "-c":
             cfg.output_cigar = True
         elif a == "-s":

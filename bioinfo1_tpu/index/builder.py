@@ -24,8 +24,6 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from bioinfo1_tpu import reference_model as rm
-
 
 @dataclasses.dataclass
 class StrandIndexArrays:
@@ -62,9 +60,30 @@ _BASE_CODE = np.zeros(256, dtype=np.uint32)
 for _c, _v in zip(b"CATG", (0, 1, 2, 3)):
     _BASE_CODE[_c] = _v
 
+# Byte-level complement table (team_mapper.cpp:49-63 switch): A<->T, G<->C,
+# every other byte passes through unchanged.
+_COMP_BYTES = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ATGC", b"TACG"):
+    _COMP_BYTES[_a] = _b
+
+
+def reverse_complement_bytes(seq_bytes: np.ndarray) -> np.ndarray:
+    """Vectorized ReverseComplement (team_mapper.cpp:49-63): reverse, then
+    complement A<->T / G<->C, non-ACGT bytes unchanged.  Semantics identical
+    to reference_model.reverse_complement, ~1000x faster on genome-scale
+    strings (one table gather instead of a per-char Python join)."""
+    return _COMP_BYTES[seq_bytes[::-1]]
+
+
+def reverse_complement_str(seq: str) -> str:
+    """String-in/string-out wrapper over reverse_complement_bytes."""
+    b = np.frombuffer(seq.encode("latin1"), dtype=np.uint8)
+    return reverse_complement_bytes(b).tobytes().decode("latin1")
+
 
 def _host_kmer_hashes(seq_bytes: np.ndarray, k: int) -> np.ndarray:
-    """Rolling 2-bit hashes on the host (used only for tiny end-windows)."""
+    """Rolling 2-bit hashes on the host: serves both the full-genome dense
+    sweep (_strand_sweep) and the tiny end-windows."""
     nk = len(seq_bytes) - k + 1
     if nk <= 0:
         return np.zeros((0,), dtype=np.uint32)
@@ -239,8 +258,8 @@ def build_index(reference: str, k: int, w: int, f: float,
     unordered_map/std::sort tie choices via the native helper."""
     ref_bytes = np.frombuffer(reference.encode("latin1"), dtype=np.uint8)
     fwd_h, fwd_p = _strand_sweep(ref_bytes, k, w, oob_end_windows)
-    rc = rm.reverse_complement(reference)
-    rc_bytes = np.frombuffer(rc.encode("latin1"), dtype=np.uint8)
+    rc_bytes = reverse_complement_bytes(ref_bytes)
+    rc = rc_bytes.tobytes().decode("latin1")
     rev_h, rev_p = _strand_sweep(rc_bytes, k, w, oob_end_windows)
 
     unique_override = None
@@ -285,11 +304,17 @@ def build_index(reference: str, k: int, w: int, f: float,
 def save_index(index: IndexArrays, path: str) -> None:
     """Persist the packed index (checkpoint/resume subsystem; the reference
     rebuilds from FASTA every run - SURVEY.md section 5)."""
+    def top_arr(top):
+        # (-1, -1) encodes "no surviving minimizer" (top_surviving=None).
+        return np.array(top if top is not None else (-1, -1), dtype=np.int64)
+
     np.savez_compressed(
         path,
         fwd_hash=index.fwd.hash_sorted, fwd_pos=index.fwd.pos_sorted,
         rev_hash=index.rev.hash_sorted, rev_pos=index.rev.pos_sorted,
         fwd_banned=index.fwd.banned, rev_banned=index.rev.banned,
+        fwd_top=top_arr(index.fwd.top_surviving),
+        rev_top=top_arr(index.rev.top_surviving),
         meta=np.array([index.ref_len, index.k, index.w,
                        index.fwd.n_unique_tuples, index.rev.n_unique_tuples,
                        index.fwd.n_distinct_hashes, index.rev.n_distinct_hashes,
@@ -303,11 +328,16 @@ def load_index(path: str) -> IndexArrays:
     meta = z["meta"]
 
     def strand(prefix, ui, di, si, mi):
+        top = None
+        if f"{prefix}_top" in z.files:  # older files lack it -> None
+            t = z[f"{prefix}_top"]
+            if t[0] >= 0:
+                top = (int(t[0]), int(t[1]))
         return StrandIndexArrays(
             hash_sorted=z[f"{prefix}_hash"], pos_sorted=z[f"{prefix}_pos"],
             n_unique_tuples=int(meta[ui]), n_distinct_hashes=int(meta[di]),
             n_singleton_hashes=int(meta[si]), banned=z[f"{prefix}_banned"],
-            max_bucket=int(meta[mi]), top_surviving=None)
+            max_bucket=int(meta[mi]), top_surviving=top)
 
     return IndexArrays(
         fwd=strand("fwd", 3, 5, 7, 9), rev=strand("rev", 4, 6, 8, 10),

@@ -164,37 +164,6 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
                       dedup_keep=dedup)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w"))
-def dense_window_min_batch(seq_bytes: jax.Array, k: int, w: int):
-    """Dense-window minimizer sweep over fixed-size genome tiles.
-
-    The genome index build tiles the reference into (n_tiles, ND + w + k - 2)
-    byte rows (ND dense windows per tile) so ONE canonical compile serves any
-    genome length - compiling the full-sequence sweep per genome is both slow
-    and unbounded (team_mapper.cpp's single-threaded sweep has no analog of
-    this constraint).  End-windows are tiny and handled on the host.
-
-    Args:
-      seq_bytes: (B, ND + w + k - 2) uint8 ASCII tile rows.
-      k, w: static minimizer parameters.
-    Returns:
-      (B, ND) uint32 window-min hashes and (B, ND) int32 1-based positions
-      local to each tile row (caller adds the tile offset).  No validity
-      masking: callers trim rows/columns beyond the true sequence.
-    """
-    B, L = seq_bytes.shape
-    nk = L - k + 1          # = ND + w - 1 k-mers per tile
-    nd = nk - w + 1
-    h, _ = kmer_hashes(seq_bytes, jnp.full((B,), L, jnp.int32), k)
-    pos = jnp.broadcast_to(
-        jnp.arange(nk, dtype=jnp.int32)[None, :] + 1, (B, nk))
-    wh, wp = h, pos
-    for s in range(2, w + 1):
-        wh, wp = _combine(wh[:, : nk - s + 1], wp[:, : nk - s + 1],
-                          h[:, s - 1:], pos[:, s - 1:])
-    return wh[:, :nd], wp[:, :nd]
-
-
 def _first_occurrence_mask(hashes, positions, valid):
     """Order-preserving first-occurrence mask of (hash, pos) per row.
 

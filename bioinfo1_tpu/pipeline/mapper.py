@@ -33,7 +33,6 @@ from bioinfo1_tpu.ops import chain as chain_ops
 from bioinfo1_tpu.ops import match as match_ops
 from bioinfo1_tpu.ops import minimizer as mz
 from bioinfo1_tpu.utils import cigar as cg
-from bioinfo1_tpu import reference_model as rm
 
 
 @dataclasses.dataclass
@@ -207,6 +206,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         use_band = (cfg.output_cigar and cfg.align_type == "global"
                     and qa.shape[1] > 2 * band)
         banded = {}
+        lane_mult = 1  # overwritten on the banded path; walk_band needs it
+                       # bound even when `banded` stays empty
         if use_band:
             from bioinfo1_tpu.ops import pallas_band as pb
             if jax.default_backend() == "tpu":
@@ -310,7 +311,7 @@ class Mapper:
         if load_index:
             self.index = builder.load_index(load_index)
             self.index.ref_fwd_seq = reference
-            self.index.ref_rev_seq = rm.reverse_complement(reference)
+            self.index.ref_rev_seq = builder.reverse_complement_str(reference)
         else:
             self.index = builder.build_index(
                 reference, cfg.k, cfg.w, cfg.f,
@@ -422,16 +423,23 @@ class Mapper:
         for start in range(start_at, len(records), cfg.batch_size):
             chunk = records[start:start + cfg.batch_size]
             mappings = self.map_batch([seq for _, seq in chunk])
+            stat_h = stat_v = None
+            if per_read_stats:
+                # One batched device sweep replaces the O(L*w*k) host oracle
+                # per read; the window-win stream (duplicates included) is
+                # identical to rm.minimize's emit list.
+                arr, lens = _pack_reads([seq for _, seq in chunk],
+                                        cfg.k + cfg.w - 1)
+                sres = mz.minimize_batch(
+                    arr, lens, cfg.k, cfg.w,
+                    oob_end_windows=cfg.oob_end_windows)
+                stat_h = np.asarray(jax.device_get(sres.hashes))
+                stat_v = np.asarray(jax.device_get(sres.valid))
             lines: List[str] = []
-            for (name, seq), m in zip(chunk, mappings):
+            for bi, ((name, seq), m) in enumerate(zip(chunk, mappings)):
                 if per_read_stats:
                     from bioinfo1_tpu.utils import stats as st
-                    res = rm.minimize(seq, cfg.k, cfg.w,
-                                      oob_end_windows=cfg.oob_end_windows)
-                    hs = np.array([h for h, _, _ in res.minimizers],
-                                  dtype=np.uint32)
-                    lines.append(st.read_statistics(
-                        hs, np.ones(len(hs), dtype=bool)))
+                    lines.append(st.read_statistics(stat_h[bi], stat_v[bi]))
                 if m.mapped:
                     lines.append(paf_line(name, len(seq), m, self.ref_name,
                                           self.ref_len, cfg.output_cigar))

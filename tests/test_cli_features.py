@@ -71,6 +71,41 @@ def test_index_save_load_roundtrip(tmp_path):
     assert os.path.exists(idx_path)
 
 
+def test_index_load_preserves_stats(tmp_path):
+    """--load-index + -s must print the same index-statistics block as a
+    fresh build (regression: top_surviving was lost on load)."""
+    ref, reads = _write_inputs(tmp_path)
+    idx_path = str(tmp_path / "index.npz")
+    rc1, out1, _ = run_ours(["-k", "5", "-w", "2", "-s",
+                             "--save-index", idx_path, ref, reads])
+    rc2, out2, _ = run_ours(["-k", "5", "-w", "2", "-s",
+                             "--load-index", idx_path, ref, reads])
+    assert rc1 == rc2 == 0
+    assert out1 == out2
+    assert "max value" in out1        # the top-surviving line is present
+
+
+def test_f_flag_atof_semantics(tmp_path):
+    """-f with a non-numeric arg parses as 0.0 (std::atof), not a crash."""
+    ref, reads = _write_inputs(tmp_path)
+    rc_bad, out_bad, _ = run_ours(["-k", "5", "-w", "2", "-f", "bogus",
+                                   ref, reads])
+    rc_zero, out_zero, _ = run_ours(["-k", "5", "-w", "2", "-f", "0",
+                                     ref, reads])
+    assert rc_bad == rc_zero == 0
+    assert out_bad == out_zero
+
+
+def test_atof_unit():
+    from bioinfo1_tpu.cli import _atof
+    assert _atof("0.001") == 0.001
+    assert _atof("  1.5e3x") == 1500.0
+    assert _atof("abc") == 0.0
+    assert _atof("") == 0.0
+    assert _atof(".5") == 0.5
+    assert _atof("-2") == -2.0
+
+
 def test_gzip_reads_ingestion(tmp_path):
     ref, reads = _write_inputs(tmp_path)
     gz = str(tmp_path / "reads.fasta.gz")
