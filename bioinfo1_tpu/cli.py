@@ -14,8 +14,16 @@ Extensions (not in the reference; all opt-in, prefixed ``--``):
                    already recorded in FILE.progress and appends (the
                    reference always restarts from scratch)
   --batch-size N   reads per device batch
+  --devices N      cap the data-parallel device mesh at N local devices
+                   (default: all local devices; 1 disables sharding)
   --profile        print stage wall-clock totals and throughput counters to
                    stderr at exit (the reference has no observability)
+
+Multi-host: set JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES/JAX_PROCESS_ID)
+and launch one process per host - reads are sharded per process, each
+process maps its contiguous slice over its local device mesh, and the PAF
+stream is gathered to process 0 in input order (the deterministic
+replacement for the reference's `omp critical` merge, team_mapper.cpp:685).
 """
 
 from __future__ import annotations
@@ -88,6 +96,9 @@ def main(argv: Optional[List[str]] = None,
     # Backend pinning (BIOINFO1_PLATFORM) + persistent compile cache.
     from bioinfo1_tpu.utils.runtime import configure_jax
     configure_jax()
+    # Multi-host init must precede first backend use.
+    from bioinfo1_tpu.parallel import shard as ps
+    ps.distributed_initialize_if_needed()
 
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
 
@@ -162,6 +173,8 @@ def main(argv: Optional[List[str]] = None,
             profile = True
         elif a == "--batch-size" and i + 1 < len(argv):
             i += 1; cfg.batch_size = max(1, _atoi(argv[i]))
+        elif a == "--devices" and i + 1 < len(argv):
+            i += 1; cfg.devices = max(0, _atoi(argv[i]))
         elif not file1:
             file1 = a
         elif not file2:
@@ -176,6 +189,11 @@ def main(argv: Optional[List[str]] = None,
         print("Error: Two input files are required.", file=err)
         print(HELP_TEXT, end="", file=out)
         return 1
+
+    # Multi-host: only process 0 speaks on stdout (stats + merged PAF).
+    import jax as _jax
+    if _jax.process_count() > 1 and _jax.process_index() != 0:
+        out = open(os.devnull, "w")
 
     try:
         reference_records = fastx.parse_fasta_any(file1)
@@ -230,6 +248,30 @@ def main(argv: Optional[List[str]] = None,
     # Per-read stats only exist in the reference's FASTA branch
     # (team_mapper.cpp:610-624); the FASTQ loop has none.
     per_read_stats = statistic and not reads.is_fastq
+
+    # Multi-host: each process maps its contiguous read slice; the PAF
+    # stream is gathered to process 0 (deterministic input order).
+    import jax
+    nproc = jax.process_count()
+    if nproc > 1:
+        lo, hi = ps.process_read_slice(len(reads.records))
+        with timers.stage("map"):
+            local_lines = mapper.map_records(reads.records[lo:hi],
+                                             per_read_stats=per_read_stats)
+            merged = ps.gather_lines_to_process0(local_lines)
+        if merged is None:
+            return 0                      # non-writer process
+        sink = open(out_path, "w") if out_path else out
+        try:
+            for line in merged:
+                print(line, file=sink)
+        finally:
+            if out_path:
+                sink.close()
+        if profile:
+            print(timers.report(), file=err)
+        return 0
+
     counters.start()
     if out_path is None:
         with timers.stage("map"):

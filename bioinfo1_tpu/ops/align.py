@@ -32,7 +32,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_NEG = jnp.int32(-(2**31) + 2)
+import numpy as _np
+
+# numpy (not jnp) scalar: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize ordering.
+_NEG = _np.int32(-(2**31) + 2)
 
 MODE_GLOBAL, MODE_LOCAL, MODE_SEMIGLOBAL = 0, 1, 2
 MODE_BY_NAME = {"global": MODE_GLOBAL, "local": MODE_LOCAL,

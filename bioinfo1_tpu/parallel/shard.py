@@ -39,6 +39,26 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("data",))
 
 
+def auto_mesh(max_devices: int = 0) -> Optional[Mesh]:
+    """Product-path mesh: the largest power-of-two prefix of the LOCAL
+    devices (pow-2 so the pipeline's canonical pow-2 batch padding is always
+    divisible by the mesh).  None when only one device is usable - the
+    single-device step needs no shard_map wrapper.
+
+    ``max_devices`` > 0 caps the mesh (the CLI's --devices flag).
+    """
+    n = jax.local_device_count()
+    if max_devices > 0:
+        n = min(n, max_devices)
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    if p <= 1:
+        return None
+    import numpy as np
+    return Mesh(np.array(jax.local_devices()[:p]), axis_names=("data",))
+
+
 def replicate_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
     """Broadcast the index to every device (one-time DCN/ICI cost)."""
     rep = NamedSharding(mesh, P())
@@ -47,7 +67,8 @@ def replicate_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
 
 def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
                      budget: int = 512, region_cap: int = 0,
-                     use_pallas: bool = False, band: int = 0):
+                     use_pallas: bool = False, band: int = 0,
+                     oob_end_windows: bool = False):
     """Build a jitted data-parallel map step bound to ``mesh``.
 
     Returns fn(reads (B,L), lens (B,), index, match, mismatch, gap) with B a
@@ -60,7 +81,7 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
         return dm.map_step(reads, lens, index, match, mismatch, gap,
                            k=k, w=w, mode=mode, budget=budget,
                            region_cap=region_cap, use_pallas=use_pallas,
-                           band=band)
+                           band=band, oob_end_windows=oob_end_windows)
 
     fn = shard_map(
         local_step, mesh=mesh,
@@ -72,9 +93,93 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
     return jax.jit(fn)
 
 
+def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
+                           budget: int = 512, region_cap: int = 0,
+                           use_pallas: bool = False, band: int = 256,
+                           oob_end_windows: bool = False):
+    """Data-parallel fused -c step (map_step_cigar over ``mesh``).
+
+    Same contract as sharded_map_step; the (steps, B) op-code tensor is
+    sharded on its BATCH axis (axis 1).
+    """
+    shard_map = jax.shard_map
+
+    def local_step(reads, lens, index, match, mismatch, gap):
+        return dm.map_step_cigar(reads, lens, index, match, mismatch, gap,
+                                 k=k, w=w, mode=mode, budget=budget,
+                                 region_cap=region_cap, use_pallas=use_pallas,
+                                 band=band, oob_end_windows=oob_end_windows)
+
+    out_specs = dm.CigarOut(
+        base=jax.tree.map(lambda _: P("data"), dm.MapOut(
+            mapped=0, is_fwd=0, q_begin=0, q_end=0, t_begin=0, t_end=0,
+            score=0, overflow=0)),
+        codes=P(None, "data"), goal_i=P("data"), goal_j=P("data"),
+        q_len=P("data"), t_len=P("data"), certified=P("data"))
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(), P(), P(), P()),
+        out_specs=out_specs,
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def distributed_initialize_if_needed() -> None:
     """Multi-host init (jax.distributed).  No-op in single-process runs;
     controlled by the standard JAX coordinator env vars."""
+    # NOTE: must run before first backend use (jax.devices() etc.).
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr and not getattr(distributed_initialize_if_needed, "_done", False):
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
+        distributed_initialize_if_needed._done = True
+
+
+def process_read_slice(n_records: int) -> tuple:
+    """[lo, hi) contiguous slice of the global record list owned by this
+    process - the per-host read sharding (SURVEY.md 2.2: reads sharded by
+    host via per-host data loading).  Contiguous blocks keep the merged
+    output in global input order."""
+    p, n = jax.process_index(), jax.process_count()
+    per = -(-n_records // n)          # ceil
+    lo = min(p * per, n_records)
+    return lo, min(lo + per, n_records)
+
+
+def gather_lines_to_process0(lines):
+    """Deterministic multi-host merge of output lines to process 0.
+
+    The TPU-native replacement for the reference's nondeterministic
+    ``omp critical`` stdout interleaving (team_mapper.cpp:685): each
+    process's PAF lines (its contiguous read slice, already in input order)
+    are encoded as one byte blob, all-gathered over DCN, and concatenated in
+    process order - so the merged stream is the exact single-process output.
+
+    Returns the merged line list on process 0, None elsewhere.
+    Single-process runs short-circuit (no collective).
+    """
+    if jax.process_count() == 1:
+        return list(lines)
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    blob = ("\n".join(lines)).encode("utf-8")
+    n = np.int64(len(blob))
+    sizes = np.asarray(mhu.process_allgather(n))          # (P,)
+    cap = int(sizes.max()) if sizes.size else 0
+    padded = np.zeros((max(cap, 1),), dtype=np.uint8)
+    padded[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    blobs = np.asarray(mhu.process_allgather(padded))     # (P, cap)
+    if jax.process_index() != 0:
+        return None
+    merged = []
+    for p in range(blobs.shape[0]):
+        text = blobs[p, : int(sizes[p])].tobytes().decode("utf-8")
+        if text:
+            merged.extend(text.split("\n"))
+    return merged

@@ -179,35 +179,13 @@ def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
     return jnp.take_along_axis(src, idx, axis=-1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "mode", "budget", "region_cap",
-                                    "use_pallas", "oob_end_windows", "band"))
-def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
-             match: jax.Array, mismatch: jax.Array, gap: jax.Array,
-             *, k: int, w: int, mode: int,
-             budget: int = 512, region_cap: int = 0,
-             use_pallas: bool = False,
-             oob_end_windows: bool = False,
-             band: int = 0) -> MapOut:
-    """Map a read batch end-to-end on device (score-only).
-
-    Args:
-      reads: (B, L) uint8 right-padded read bytes.
-      lens:  (B,) int32.
-      index: replicated DeviceIndex.
-      k, w, mode: static mapper parameters.
-      match/mismatch/gap: int32 scoring scalars (traced).
-      budget: static per-read match budget (overflow flagged for host retry).
-      region_cap: static max alignment-region length; 0 means L + 8 rounded
-        up - regions beyond it are clamped (flagged via overflow as well).
-      band: static banded-alignment width (global mode only; 0 = full
-        wavefront).  Banded scores carry an exactness certificate
-        (ops/pallas_band.py); any uncertified read triggers one full-kernel
-        pass inside the same jit, so the result is ALWAYS exact.
-    """
+def _map_core(reads, lens, index, *, k, w, budget, region_cap,
+              use_pallas, oob_end_windows):
+    """Shared front half of the fused step: minimize -> match -> chain ->
+    strand select -> region extraction.  Returns the per-read mapping
+    coordinates plus the gathered (q_win, t_win, q_len, t_len) alignment
+    regions."""
     B, L = reads.shape
-    if region_cap == 0:
-        region_cap = L
     mres = mz.minimize_batch(reads, lens, k, w,
                              oob_end_windows=oob_end_windows)
 
@@ -258,6 +236,43 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     t_idx = t_base[:, None] + jnp.arange(region_cap, dtype=jnp.int32)[None, :]
     t_win = jnp.take(ref_flat, jnp.clip(t_idx, 0, 2 * ref_pad - 1))
 
+    return (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
+            q_win, t_win, q_len, t_len)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "mode", "budget", "region_cap",
+                                    "use_pallas", "oob_end_windows", "band"))
+def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
+             match: jax.Array, mismatch: jax.Array, gap: jax.Array,
+             *, k: int, w: int, mode: int,
+             budget: int = 512, region_cap: int = 0,
+             use_pallas: bool = False,
+             oob_end_windows: bool = False,
+             band: int = 0) -> MapOut:
+    """Map a read batch end-to-end on device (score-only).
+
+    Args:
+      reads: (B, L) uint8 right-padded read bytes.
+      lens:  (B,) int32.
+      index: replicated DeviceIndex.
+      k, w, mode: static mapper parameters.
+      match/mismatch/gap: int32 scoring scalars (traced).
+      budget: static per-read match budget (overflow flagged for host retry).
+      region_cap: static max alignment-region length; 0 means the read
+        width - regions beyond it are clamped (flagged via overflow as well).
+      band: static banded-alignment width (global mode only; 0 = full
+        wavefront).  Banded scores carry an exactness certificate
+        (ops/pallas_band.py); any uncertified read triggers one full-kernel
+        pass inside the same jit, so the result is ALWAYS exact.
+    """
+    if region_cap == 0:
+        region_cap = reads.shape[1]
+    (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
+     q_win, t_win, q_len, t_len) = _map_core(
+        reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
+        use_pallas=use_pallas, oob_end_windows=oob_end_windows)
+
     def full_scores():
         if use_pallas:
             from bioinfo1_tpu.ops import pallas_align as pa
@@ -284,3 +299,81 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
                   score=score, overflow=overflow)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CigarOut:
+    """map_step_cigar output: MapOut plus the traceback walk.
+
+    codes: (steps, B) uint8 op codes (0=M 1=I 2=D 255=done) in goal->origin
+    order - the host only run-length encodes them (utils/cigar.py).
+    q_len/t_len: alignment-region lengths (the RLE needs them for the
+    semiGlobal corner pad).  certified: the banded traceback is provably
+    byte-identical to the full DP's; the host re-routes uncertified reads
+    (rare: chains drifting > band/2 off-diagonal) through the full-matrix
+    host path.
+    """
+
+    base: MapOut
+    codes: jax.Array
+    goal_i: jax.Array
+    goal_j: jax.Array
+    q_len: jax.Array
+    t_len: jax.Array
+    certified: jax.Array
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "mode", "budget", "region_cap",
+                                    "use_pallas", "oob_end_windows", "band"))
+def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
+                   match: jax.Array, mismatch: jax.Array, gap: jax.Array,
+                   *, k: int, w: int, mode: int,
+                   budget: int = 512, region_cap: int = 0,
+                   use_pallas: bool = False,
+                   oob_end_windows: bool = False,
+                   band: int = 256) -> CigarOut:
+    """Fused -c step: map_step plus banded-parents alignment and the
+    on-device traceback walk (global mode only - the PAF default).
+
+    The whole -c pipeline stays on device: region gather in HBM, banded
+    parent fill (2-bit packed, ops/pallas_band.py), lockstep batch walk
+    (ops/trace.py).  Only the (steps, B) op-code tensor crosses to the host,
+    which run-length encodes it - no per-read Python strings anywhere
+    (replaces the reference's per-read traceback + RLE,
+    team_alignment.cpp:122-161).
+    """
+    assert mode == 0, "fused CIGAR path is global-mode only"
+    if region_cap == 0:
+        region_cap = reads.shape[1]
+    (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
+     q_win, t_win, q_len, t_len) = _map_core(
+        reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
+        use_pallas=use_pallas, oob_end_windows=oob_end_windows)
+
+    from bioinfo1_tpu.ops import pallas_band as pb
+    from bioinfo1_tpu.ops import trace as tr
+    if use_pallas:
+        out = pb.align_scores_banded(q_win, q_len, t_win, t_len,
+                                     match, mismatch, gap, band=band,
+                                     want_parents=True)
+        lane_mult = 128
+    else:
+        out = al.align_banded_parents(q_win, q_len, t_win, t_len,
+                                      match, mismatch, gap, band=band)
+        lane_mult = 16
+    certified = pb.certify(out.score, q_win, q_len, t_win, t_len,
+                           match, mismatch, gap, band, strict=True,
+                           lane_multiple=lane_mult)
+    walk_band = -(-band // lane_mult) * lane_mult
+    codes = tr.walk_parents(out.parents, out.goal_i, out.goal_j, out.score,
+                            q_win, t_win, match, mismatch, gap,
+                            mode=mode, band=walk_band)
+    base = MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
+                  q_begin=q_begin, q_end=q_end,
+                  t_begin=t_begin, t_end=t_end,
+                  score=out.score, overflow=overflow)
+    return CigarOut(base=base, codes=codes,
+                    goal_i=out.goal_i, goal_j=out.goal_j,
+                    q_len=q_len, t_len=t_len, certified=certified)

@@ -59,6 +59,9 @@ class MapperConfig:
     batch_size: int = 512
     initial_match_budget: int = 512
     bucket_growth: float = 1.5
+    # device parallelism: 0 = all local devices (largest pow-2 prefix),
+    # 1 = force single-device, N = cap the mesh at N devices
+    devices: int = 0
 
 
 @dataclasses.dataclass
@@ -84,18 +87,21 @@ def _pow2_at_least(x: int, floor: int = 8) -> int:
 
 
 def _pack_reads(seqs: Sequence[str], min_len: int,
-                canonical: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                canonical: bool = True,
+                min_batch: int = 8) -> Tuple[np.ndarray, np.ndarray]:
     """Pack strings into a right-padded uint8 batch.
 
     ``canonical`` rounds both dims up to powers of two so jit specializations
     recur across batches (and across runs, via the persistent compile cache)
     instead of exploding one compile per data-dependent shape.
+    ``min_batch`` raises the batch floor (a pow-2 mesh size always divides
+    the padded batch).
     """
     L = max(max((len(s) for s in seqs), default=1), min_len)
     B = len(seqs)
     if canonical:
         L = _pow2_at_least(L, 16)
-        B = _pow2_at_least(B, 8)
+        B = _pow2_at_least(B, min_batch)
     arr = np.zeros((B, L), dtype=np.uint8)
     lens = np.zeros((B,), dtype=np.int32)
     for i, s in enumerate(seqs):
@@ -321,12 +327,21 @@ class Mapper:
                 oob_end_windows=cfg.oob_end_windows)
         self.ref_len = len(reference)
         self._device_index = None
+        self._mesh = None
+        self._mesh_resolved = False
+        self._replicated_index = None
+        self._sharded_steps: dict = {}
 
     # The fused single-jit device step (pipeline/device_map.py) serves the
-    # score-only path; CIGARs (-c) and the FASTA match-nesting bug-compat
-    # gate stage through the host pipeline instead.
+    # score-only path and global-mode -c (banded parents + on-device walk);
+    # local/semiGlobal CIGARs and the FASTA match-nesting bug-compat gate
+    # stage through the host pipeline instead.
     def _fast_path_ok(self) -> bool:
-        return not self.cfg.output_cigar and not self.cfg.fasta_match_nesting
+        if self.cfg.fasta_match_nesting:
+            return False
+        if self.cfg.output_cigar:
+            return self.cfg.align_type == "global"
+        return True
 
     def _get_device_index(self):
         if self._device_index is None:
@@ -334,44 +349,134 @@ class Mapper:
             self._device_index = dm.device_index_from_host(self.index)
         return self._device_index
 
-    def _map_bucket_fused(self, seqs: Sequence[str],
-                          budget: int) -> Tuple[List[ReadMapping], List[int]]:
+    def _get_mesh(self):
+        """Data-parallel mesh over the local devices (None = single device).
+
+        The product analog of the reference's OpenMP thread team
+        (team_mapper.cpp:596): reads sharded over the mesh, index replicated,
+        outputs gathered in input order (deterministic by construction).
+        """
+        if not self._mesh_resolved:
+            from bioinfo1_tpu.parallel import shard as ps
+            self._mesh = (None if self.cfg.devices == 1
+                          else ps.auto_mesh(self.cfg.devices))
+            self._mesh_resolved = True
+        return self._mesh
+
+    def _get_replicated_index(self, mesh):
+        if self._replicated_index is None:
+            from bioinfo1_tpu.parallel import shard as ps
+            self._replicated_index = ps.replicate_index(
+                self._get_device_index(), mesh)
+        return self._replicated_index
+
+    def _get_sharded_step(self, mesh, key):
+        if key not in self._sharded_steps:
+            from bioinfo1_tpu.parallel import shard as ps
+            if key[0] == "cigar":
+                (_, mode, budget, region_cap, use_pallas, band, oob) = key
+                fn = ps.sharded_map_step_cigar(
+                    mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
+                    budget=budget, region_cap=region_cap,
+                    use_pallas=use_pallas, band=band, oob_end_windows=oob)
+            else:
+                (mode, budget, region_cap, use_pallas, band, oob) = key
+                fn = ps.sharded_map_step(
+                    mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
+                    budget=budget, region_cap=region_cap,
+                    use_pallas=use_pallas, band=band, oob_end_windows=oob)
+            self._sharded_steps[key] = fn
+        return self._sharded_steps[key]
+
+    def _map_bucket_fused(
+            self, seqs: Sequence[str], budget: int
+    ) -> Tuple[List[ReadMapping], List[int], List[int]]:
+        """Fused device bucket.  Returns (results, budget_retry, host_retry):
+        budget_retry reads overflowed (retry fused, doubled budget);
+        host_retry reads failed the banded-traceback certificate (re-route
+        through the full-matrix host path)."""
         import jax.numpy as jnp
         from bioinfo1_tpu.pipeline import device_map as dm
         from bioinfo1_tpu.ops.align import MODE_BY_NAME
         cfg = self.cfg
-        didx = self._get_device_index()
-        arr, lens = _pack_reads(seqs, cfg.k + cfg.w - 1)
+        mesh = self._get_mesh()
+        arr, lens = _pack_reads(seqs, cfg.k + cfg.w - 1,
+                                min_batch=mesh.size if mesh else 8)
         region_cap = _pow2_at_least(2 * arr.shape[1], 128)
         use_pallas = jax.default_backend() == "tpu"
-        out = jax.device_get(dm.map_step(
-            jnp.asarray(arr), jnp.asarray(lens), didx,
-            jnp.int32(cfg.match), jnp.int32(cfg.mismatch), jnp.int32(cfg.gap),
-            k=cfg.k, w=cfg.w, mode=MODE_BY_NAME[cfg.align_type],
-            budget=budget, region_cap=region_cap, use_pallas=use_pallas,
-            oob_end_windows=cfg.oob_end_windows,
-            band=256 if arr.shape[1] > 512 else 0))
+        mode = MODE_BY_NAME[cfg.align_type]
+        scoring = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
+                   jnp.int32(cfg.gap))
+        cig = None
+        if cfg.output_cigar:
+            band = 256
+            key = ("cigar", mode, budget, region_cap, use_pallas, band,
+                   cfg.oob_end_windows)
+            if mesh is not None:
+                step = self._get_sharded_step(mesh, key)
+                cig = jax.device_get(step(
+                    arr, lens, self._get_replicated_index(mesh), *scoring))
+            else:
+                cig = jax.device_get(dm.map_step_cigar(
+                    jnp.asarray(arr), jnp.asarray(lens),
+                    self._get_device_index(), *scoring,
+                    k=cfg.k, w=cfg.w, mode=mode,
+                    budget=budget, region_cap=region_cap,
+                    use_pallas=use_pallas,
+                    oob_end_windows=cfg.oob_end_windows, band=band))
+            out = cig.base
+        else:
+            band = 256 if arr.shape[1] > 512 else 0
+            key = (mode, budget, region_cap, use_pallas, band,
+                   cfg.oob_end_windows)
+            if mesh is not None:
+                step = self._get_sharded_step(mesh, key)
+                out = jax.device_get(step(
+                    arr, lens, self._get_replicated_index(mesh), *scoring))
+            else:
+                out = jax.device_get(dm.map_step(
+                    jnp.asarray(arr), jnp.asarray(lens),
+                    self._get_device_index(), *scoring,
+                    k=cfg.k, w=cfg.w, mode=mode,
+                    budget=budget, region_cap=region_cap,
+                    use_pallas=use_pallas,
+                    oob_end_windows=cfg.oob_end_windows, band=band))
         results: List[ReadMapping] = []
         retry: List[int] = []
+        host_retry: List[int] = []
         for i in range(len(seqs)):
             if out.overflow[i]:
                 results.append(ReadMapping(mapped=False))
                 retry.append(i)
             elif not out.mapped[i]:
                 results.append(ReadMapping(mapped=False))
+            elif cig is not None and not cig.certified[i]:
+                results.append(ReadMapping(mapped=False))
+                host_retry.append(i)
             else:
+                cigar = None
+                target_begin = None
+                if cig is not None:
+                    cigar, target_begin = cg.cigar_from_codes(
+                        cig.codes[:, i], cfg.align_type,
+                        int(cig.goal_i[i]), int(cig.goal_j[i]),
+                        int(cig.q_len[i]), int(cig.t_len[i]),
+                        sam_convention=cfg.sam_cigar,
+                        local_target_begin_end=cfg.local_target_begin_end)
                 results.append(ReadMapping(
                     mapped=True, is_fwd=bool(out.is_fwd[i]),
                     q_begin=int(out.q_begin[i]), q_end=int(out.q_end[i]),
                     t_begin=int(out.t_begin[i]), t_end=int(out.t_end[i]),
-                    score=int(out.score[i])))
-        return results, retry
+                    score=int(out.score[i]), cigar=cigar,
+                    target_begin=target_begin))
+        return results, retry, host_retry
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
         cfg = self.cfg
         fused = self._fast_path_ok()
         results: List[ReadMapping] = [None] * len(seqs)  # type: ignore
         pending = list(range(len(seqs)))
+        force_host: set = set()     # banded-certificate misses (fused -c)
         budget = cfg.initial_match_budget
         attempts = 0
         while pending:
@@ -387,23 +492,38 @@ class Mapper:
             next_pending: List[int] = []
             for bucket in buckets:
                 idxs = [pending[j] for j in bucket]
-                sub = [seqs[i] for i in idxs]
-                # Budget scales with the bucket's read length (a read has
-                # ~2L/(w+1) minimizers, typically ~1 hit each), so long
-                # reads don't start at a budget they are guaranteed to
-                # overflow; retries keep doubling from there.
-                max_len = max(len(s) for s in sub)
-                b_budget = _pow2_at_least(max(budget, max_len // 2), 8)
-                b_budget *= 1 << (attempts - 1)
-                if fused:
-                    res, retry = self._map_bucket_fused(sub, b_budget)
-                else:
-                    res, retry = _map_bucket(sub, self.index, cfg, b_budget)
-                for loc, i in enumerate(idxs):
-                    if loc in retry:
-                        next_pending.append(i)
+                fused_set = {i for i in idxs
+                             if fused and i not in force_host}
+                fused_idx = [i for i in idxs if i in fused_set]
+                host_idx = [i for i in idxs if i not in fused_set]
+                for sub_idxs, on_device in ((fused_idx, True),
+                                            (host_idx, False)):
+                    if not sub_idxs:
+                        continue
+                    sub = [seqs[i] for i in sub_idxs]
+                    # Budget scales with the bucket's read length (a read
+                    # has ~2L/(w+1) minimizers, typically ~1 hit each), so
+                    # long reads don't start at a budget they are guaranteed
+                    # to overflow; retries keep doubling from there.
+                    max_len = max(len(s) for s in sub)
+                    b_budget = _pow2_at_least(max(budget, max_len // 2), 8)
+                    b_budget *= 1 << (attempts - 1)
+                    if on_device:
+                        res, retry, host_retry = self._map_bucket_fused(
+                            sub, b_budget)
                     else:
-                        results[i] = res[loc]
+                        res, retry = _map_bucket(sub, self.index, cfg,
+                                                 b_budget)
+                        host_retry = []
+                    retry_s, host_s = set(retry), set(host_retry)
+                    for loc, i in enumerate(sub_idxs):
+                        if loc in retry_s:
+                            next_pending.append(i)
+                        elif loc in host_s:
+                            force_host.add(i)
+                            next_pending.append(i)
+                        else:
+                            results[i] = res[loc]
             pending = next_pending
             if attempts >= 24:  # safety: ~16M matches per read
                 for i in pending:

@@ -131,3 +131,43 @@ def test_map_step_pallas_path(problem):
         np.testing.assert_array_equal(
             jax.device_get(getattr(want, field)),
             jax.device_get(getattr(got, field)), err_msg=field)
+
+
+def test_map_step_cigar_matches_host_pipeline(problem):
+    """Fused -c step (banded parents + on-device walk) vs the host pipeline:
+    identical PAF lines including CIGARs for every mapped read."""
+    genome, index, didx, reads, arr, lens = problem
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+
+    records = [(f"r{i}", s) for i, s in enumerate(reads)]
+    cfg = MapperConfig(k=K, w=W, f=F, output_cigar=True)
+    fused_m = Mapper([("ref", genome)], cfg)
+    assert fused_m._fast_path_ok()
+    fused_lines = fused_m.map_records(records)
+
+    host_m = Mapper([("ref", genome)], MapperConfig(k=K, w=W, f=F,
+                                                    output_cigar=True))
+    host_m._fast_path_ok = lambda: False
+    host_lines = host_m.map_records(records)
+    assert fused_lines == host_lines
+    assert any("cg:Z:" in l for l in fused_lines)
+
+
+def test_map_step_cigar_certificate_fallback(problem):
+    """A read whose chain spans far more target than query (certificate
+    miss: goal off-band) must still come back correct via the host path."""
+    genome, index, didx, reads, arr, lens = problem
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+    # Query = two distant genome pieces glued: the chain can span them with
+    # one huge target gap, pushing the goal cell far off the band.
+    frag = genome[1000:1400] + genome[9000:9400]
+    records = [("chimera", frag)] + [(f"r{i}", s)
+                                     for i, s in enumerate(reads[:4])]
+    cfg = MapperConfig(k=K, w=W, f=F, output_cigar=True)
+    fused_m = Mapper([("ref", genome)], cfg)
+    fused_lines = fused_m.map_records(records)
+    host_m = Mapper([("ref", genome)], MapperConfig(k=K, w=W, f=F,
+                                                    output_cigar=True))
+    host_m._fast_path_ok = lambda: False
+    host_lines = host_m.map_records(records)
+    assert fused_lines == host_lines

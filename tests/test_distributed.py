@@ -24,6 +24,60 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_two_process_cli_matches_single(tmp_path):
+    """The PRODUCT path: two CLI processes (4 virtual devices each), reads
+    sharded per process, PAF gathered to process 0 - stdout must be
+    byte-identical to the single-process run (the deterministic replacement
+    for the reference's omp-critical merge, team_mapper.cpp:685)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(7)
+    genome = "".join("CATG"[i] for i in rng.integers(0, 4, 2000))
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(f">ref\n{genome}\n")
+    reads_f = tmp_path / "reads.fasta"
+    with open(reads_f, "w") as fh:
+        for r in range(10):
+            start = int(rng.integers(0, 1800))
+            fh.write(f">r{r}\n{genome[start:start + 150]}\n")
+    args = ["-m", "bioinfo1_tpu.cli", "-k", "9", "-w", "3",
+            str(ref), str(reads_f)]
+
+    base_env = dict(os.environ)
+    base_env.pop("XLA_FLAGS", None)
+    base_env.pop("JAX_COORDINATOR_ADDRESS", None)
+    base_env["BIOINFO1_PLATFORM"] = "cpu"
+    base_env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/bioinfo1_tpu_jax_cache"
+
+    single = subprocess.run([sys.executable] + args, env=base_env, cwd=repo,
+                            capture_output=True, text=True, timeout=420)
+    assert single.returncode == 0, single.stderr
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable] + args, env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    def _lines(s):
+        # Gloo (the CPU collectives backend) logs rank-connection notices to
+        # stdout; they are library noise, not program output.
+        return [l for l in s.splitlines() if not l.startswith("[Gloo]")]
+
+    outs = []
+    for p in procs:
+        out, perr = p.communicate(timeout=420)
+        assert p.returncode == 0, perr
+        outs.append(out)
+    assert _lines(outs[1]) == []                  # only process 0 writes
+    assert _lines(outs[0]) == single.stdout.splitlines()
+
+
+@pytest.mark.slow
 def test_two_process_mesh_matches_single(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")

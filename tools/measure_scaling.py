@@ -1,0 +1,89 @@
+"""Multi-host scaling-efficiency measurement (BASELINE.md target: >=80% at
+>=2 hosts).
+
+Simulates N hosts as N processes, each pinned to its own physical CPU core
+(taskset) with ONE single-threaded virtual XLA CPU device - so "host"
+resources are equal across configurations and the strong-scaling efficiency
+
+    eff(N) = T(1) / (N * T(N))
+
+is a fair number (the machine has few cores; N beyond the core count would
+only measure oversubscription, so it is skipped).  Each process runs the
+PRODUCT path: per-process read slice -> Mapper -> gather_lines_to_process0.
+
+Writes SCALING.json at the repo root.  Run: python tools/measure_scaling.py
+"""
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "scaling_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_config(nproc: int, tmpdir: str) -> dict:
+    port = _free_port() if nproc > 1 else 0
+    out_path = os.path.join(tmpdir, f"scaling_{nproc}.json")
+    have_taskset = shutil.which("taskset") is not None
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_COORDINATOR_ADDRESS", None)
+        cmd = [sys.executable, WORKER, str(port), str(pid), str(nproc),
+               out_path]
+        if have_taskset:
+            cmd = ["taskset", "-c", str(pid % os.cpu_count())] + cmd
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=1200)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed (nproc={nproc}):\n{err}")
+    with open(out_path) as fh:
+        return json.load(fh)
+
+
+def main():
+    import tempfile
+    cores = os.cpu_count() or 1
+    configs = [1] + [n for n in (2, 4, 8) if n <= cores]
+    results = {}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        for n in configs:
+            r = run_config(n, tmpdir)
+            results[n] = r
+            print(f"nproc={n}: {r['map_s']:.2f}s "
+                  f"({r['reads_per_s']:.1f} reads/s)", flush=True)
+    t1 = results[1]["map_s"]
+    payload = {
+        "workload": "192 x 1kb ONT-like reads vs 200kb synthetic genome, "
+                    "k=15 w=5 f=0.001, product path (Mapper + PAF gather)",
+        "method": "strong scaling, one process per simulated host, each "
+                  "pinned to one physical core with one single-threaded "
+                  "XLA CPU device; eff(N) = T1/(N*TN)",
+        "physical_cores": cores,
+        "configs": {str(n): results[n] for n in configs},
+        "efficiency": {str(n): t1 / (n * results[n]["map_s"])
+                       for n in configs},
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload["efficiency"]))
+
+
+if __name__ == "__main__":
+    main()
