@@ -228,31 +228,46 @@ def main(argv: Optional[List[str]] = None,
              idx.rev.top_surviving),
             cfg.k), file=out)
 
-    try:
-        reads = fastx.parse_reads(file2)
-    except fastx.FormatError:
-        print("Given file is not in FASTA or FASTQ format! ", file=err)
-        return 1
+    import jax
+    nproc = jax.process_count()
+
+    # Constant-memory streaming (the reference's 1 GB FASTQ chunk loop,
+    # team_mapper.cpp:534-545): engaged for file output without -s stats
+    # (which needs every record up front) in single-process runs.
+    stream_mode = (out_path is not None and not statistic and nproc == 1)
+    reads = None
+    if stream_mode:
+        try:
+            stream = fastx.stream_reads(file2)
+        except (OSError, fastx.FormatError):
+            print("Given file is not in FASTA or FASTQ format! ", file=err)
+            return 1
+        is_fastq = stream.is_fastq
+    else:
+        try:
+            reads = fastx.parse_reads(file2)
+        except fastx.FormatError:
+            print("Given file is not in FASTA or FASTQ format! ", file=err)
+            return 1
+        is_fastq = reads.is_fastq
     # The FASTA-branch match-nesting bug only applies when the reads file is
     # FASTA (team_mapper.cpp:629-638); FASTQ always does independent lookups.
-    if cfg.fasta_match_nesting and reads.is_fastq:
+    if cfg.fasta_match_nesting and is_fastq:
         cfg.fasta_match_nesting = False
 
     if statistic:
         print(file=out)
         print("Basic statistic for fragments of genome", file=out)
         print("------------------------------------", file=out)
-        kind = "fastq" if reads.is_fastq else "fasta"
+        kind = "fastq" if is_fastq else "fasta"
         print(fastx.basic_statistics(reads.records, kind), file=out)
 
     # Per-read stats only exist in the reference's FASTA branch
     # (team_mapper.cpp:610-624); the FASTQ loop has none.
-    per_read_stats = statistic and not reads.is_fastq
+    per_read_stats = statistic and not is_fastq
 
     # Multi-host: each process maps its contiguous read slice; the PAF
     # stream is gathered to process 0 (deterministic input order).
-    import jax
-    nproc = jax.process_count()
     if nproc > 1:
         lo, hi = ps.process_read_slice(len(reads.records))
         with timers.stage("map"):
@@ -297,6 +312,30 @@ def main(argv: Optional[List[str]] = None,
         with open(progress_path) as fh:
             start_at = int(_json.load(fh).get("completed_reads", 0))
         file_mode = "a"
+
+    if stream_mode:
+        # Constant memory: record batches stream off disk, map, append,
+        # checkpoint (total_reads unknown until the stream ends).
+        done = 0
+        with open(out_path, file_mode) as paf_out:
+            for batch in stream.batches:
+                lo = max(0, start_at - done)
+                if lo >= len(batch):
+                    done += len(batch)
+                    continue
+                base = done + lo
+                for nxt, lines in mapper.map_records_iter(batch[lo:]):
+                    for line in lines:
+                        print(line, file=paf_out)
+                    paf_out.flush()
+                    with open(progress_path, "w") as fh:
+                        _json.dump({"completed_reads": base + nxt,
+                                    "total_reads": None}, fh)
+                done += len(batch)
+        with open(progress_path, "w") as fh:
+            _json.dump({"completed_reads": done, "total_reads": done}, fh)
+        return 0
+
     with open(out_path, file_mode) as paf_out:
         for done, lines in mapper.map_records_iter(
                 reads.records, per_read_stats=per_read_stats,

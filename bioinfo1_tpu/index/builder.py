@@ -198,8 +198,18 @@ def _build_strand(hashes: np.ndarray, pos: np.ndarray, f: float,
     uh, up = hs[new_tuple], ps[new_tuple]
     n_unique = len(uh)
 
-    # Window-win frequency per distinct hash (duplicates included).
-    distinct, freq = np.unique(hashes, return_counts=True)
+    # Window-win frequency per distinct hash (duplicates included): run
+    # lengths of the already-sorted hs stream (== np.unique(hashes,
+    # return_counts=True) without paying a second full sort).
+    if len(hs):
+        run_start = np.ones(len(hs), dtype=bool)
+        run_start[1:] = hs[1:] != hs[:-1]
+        starts_i = np.flatnonzero(run_start)
+        distinct = hs[starts_i]
+        freq = np.diff(np.append(starts_i, len(hs)))
+    else:
+        distinct = hs
+        freq = np.zeros((0,), dtype=np.int64)
     n_distinct = len(distinct)
     n_singleton = int((freq == 1).sum())
 

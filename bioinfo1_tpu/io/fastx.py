@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
-from typing import List, Tuple
+import io
+from typing import Iterator, List, Tuple
 
 Record = Tuple[str, str]  # (name, sequence)
 
@@ -139,6 +140,118 @@ def parse_reads(path: str) -> SniffedReads:
         return SniffedReads(parse_fasta(path), False)
     except FormatError:
         raise FormatError("Given file is not in FASTA or FASTQ format!")
+
+
+def _open_text(path: str):
+    """Line-buffered latin1 text stream, transparently gunzipping."""
+    f = open(path, "rb")
+    head = f.read(2)
+    f.seek(0)
+    if head == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.open(f), encoding="latin1")
+    return io.TextIOWrapper(f, encoding="latin1")
+
+
+def _iter_fasta_records(fh) -> Iterator[Record]:
+    name = None
+    parts: List[str] = []
+    for line in fh:
+        line = line.rstrip("\r\n")
+        if line.startswith(">"):
+            if name is not None:
+                yield (name, "".join(parts))
+            name = line[1:].split(None, 1)[0] if line[1:].strip() else ""
+            parts = []
+        else:
+            parts.append("".join(line.split()))
+    if name is not None:
+        yield (name, "".join(parts))
+
+
+def _iter_fastq_records(fh) -> Iterator[Record]:
+    it = iter(fh)
+    line = None
+    for raw in it:
+        line = raw.rstrip()
+        if line:
+            break
+    else:
+        return
+    while True:
+        if not line.startswith("@"):
+            raise FormatError("malformed FASTQ record")
+        name = line[1:].split(None, 1)[0] if line[1:].strip() else ""
+        seq_parts: List[str] = []
+        for raw in it:
+            line = raw.rstrip()
+            if line.startswith("+"):
+                break
+            seq_parts.append(line)
+        else:
+            raise FormatError("malformed FASTQ record")
+        seq = "".join(seq_parts)
+        qual_len = 0
+        while qual_len < len(seq):
+            try:
+                qual_len += len(next(it).rstrip())
+            except StopIteration:
+                raise FormatError("malformed FASTQ record")
+        if qual_len != len(seq):
+            raise FormatError("malformed FASTQ record")
+        yield (name, seq)
+        for raw in it:
+            line = raw.rstrip()
+            if line:
+                break
+        else:
+            return
+
+
+@dataclasses.dataclass
+class ReadStream:
+    """Constant-memory reads ingestion (the reference parses FASTQ in 1 GB
+    chunks, team_mapper.cpp:534-545; this is the streaming analog for both
+    formats)."""
+
+    is_fastq: bool
+    batches: Iterator[List[Record]]
+
+
+def stream_reads(path: str, chunk_bases: int = 1 << 30) -> ReadStream:
+    """Iterate (name, seq) record batches of ~chunk_bases total sequence
+    without materializing the whole file.  Format is sniffed from the first
+    non-space byte ('@' FASTQ / '>' FASTA - the formats are mutually
+    exclusive on that byte, so this matches the reference's try-FASTQ-first
+    fallback chain without a second pass)."""
+    first = None
+    with _open_text(path) as fh:
+        while True:
+            ch = fh.read(1)
+            if not ch:
+                break
+            if not ch.isspace():
+                first = ch
+                break
+    if first not in ("@", ">"):
+        raise FormatError("Given file is not in FASTA or FASTQ format!")
+    is_fastq = first == "@"
+
+    def batches() -> Iterator[List[Record]]:
+        with _open_text(path) as fh:
+            it = (_iter_fastq_records(fh) if is_fastq
+                  else _iter_fasta_records(fh))
+            batch: List[Record] = []
+            bases = 0
+            for rec in it:
+                batch.append(rec)
+                bases += len(rec[1])
+                if bases >= chunk_bases:
+                    yield batch
+                    batch, bases = [], 0
+            if batch:
+                yield batch
+
+    return ReadStream(is_fastq=is_fastq, batches=batches())
 
 
 def basic_statistics(records: List[Record], kind: str) -> str:

@@ -1,8 +1,9 @@
 """ctypes bindings for the native host runtime (build/libbioinfo1_native.so).
 
-The reference is pure C++; our host-side glue (bug-compat oracles, later the
-FASTA/FASTQ packer and PAF serializer) is C++ too, bound with ctypes (the
-image ships no pybind11).  The library is built lazily via
+The reference is pure C++; our host-side glue - bug-compat oracles, the
+FASTA/FASTQ parser (native/fastx.cpp via io/native_io.py), and the PAF
+serializer (native/paf.cpp, bound here) - is C++ too, bound with ctypes
+(the image ships no pybind11).  The library is built lazily via
 tools/build_native.sh; everything degrades gracefully to Python fallbacks
 when the toolchain is unavailable.
 """
@@ -42,6 +43,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u32p, i32p, u32p, ctypes.c_int64,
             u32p, i32p, u32p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.bioinfo1_paf_format.restype = ctypes.c_int64
+        lib.bioinfo1_paf_format.argtypes = [
+            ctypes.c_char_p, i64p,
+            i32p, u8p, u8p, i32p, i32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, i64p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
         ]
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
@@ -92,3 +103,59 @@ def freq_orders2(fwd_hashes: np.ndarray, rev_hashes: np.ndarray,
     m = rev_m.value
     return ((f_iter[:n], f_cnt[:n], f_sort[:n]),
             (r_iter[:m], r_cnt[:m], r_sort[:m]))
+
+
+def paf_format(names, read_lens, mappings, ref_name: str, ref_len: int,
+               with_cigar: bool):
+    """Serialize one batch of PAF rows natively (native/paf.cpp).
+
+    ``mappings`` is the pipeline's List[ReadMapping]; unmapped entries are
+    skipped.  Returns the rows as a list of str lines (newline-split of the
+    native blob), or None when the native library is unavailable - callers
+    fall back to pipeline.mapper.paf_line.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bioinfo1_paf_format"):
+        return None
+    n = len(mappings)
+    name_blob = "".join(names).encode("latin1")
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s.encode("latin1")) for s in names], out=name_off[1:])
+    rl = np.asarray(read_lens, dtype=np.int32)
+    mapped = np.fromiter((m.mapped for m in mappings), np.uint8, n)
+    is_fwd = np.fromiter((m.is_fwd for m in mappings), np.uint8, n)
+    qb = np.fromiter((m.q_begin for m in mappings), np.int32, n)
+    qe = np.fromiter((m.q_end for m in mappings), np.int32, n)
+    tb = np.fromiter((m.t_begin for m in mappings), np.int32, n)
+    te = np.fromiter((m.t_end for m in mappings), np.int32, n)
+    sc = np.fromiter((m.score for m in mappings), np.int32, n)
+    if with_cigar:
+        cigs = [(m.cigar or "") for m in mappings]
+        cigar_blob = "".join(cigs).encode("latin1")
+        cigar_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in cigs], out=cigar_off[1:])
+    else:
+        cigar_blob = b""
+        cigar_off = np.zeros(n + 1, dtype=np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    args = (
+        name_blob, name_off.ctypes.data_as(i64p),
+        rl.ctypes.data_as(i32p), mapped.ctypes.data_as(u8p),
+        is_fwd.ctypes.data_as(u8p),
+        qb.ctypes.data_as(i32p), qe.ctypes.data_as(i32p),
+        tb.ctypes.data_as(i32p), te.ctypes.data_as(i32p),
+        sc.ctypes.data_as(i32p), n,
+        ref_name.encode("latin1"), len(ref_name.encode("latin1")),
+        ref_len,
+        cigar_blob, cigar_off.ctypes.data_as(i64p),
+        1 if with_cigar else 0,
+    )
+    required = lib.bioinfo1_paf_format(*args, None, 0)
+    if required == 0:
+        return []
+    out = ctypes.create_string_buffer(required)
+    lib.bioinfo1_paf_format(*args, out, required)
+    return out.raw[:required].decode("latin1").splitlines()

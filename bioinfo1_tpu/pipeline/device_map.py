@@ -96,13 +96,22 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
 
     # Merge the two per-strand sorted tables; within a hash run fwd entries
     # precede rev entries, positions ascending (the order LIS parity needs).
-    keys = np.concatenate([fh, rh])
-    strands = np.concatenate([np.zeros(len(fh), np.uint8),
-                              np.ones(len(rh), np.uint8)])
-    poss = np.concatenate([fp, rp])
-    order = np.lexsort((poss, strands, keys))
-    ks, ss, ps = keys[order], strands[order], poss[order]
-    U = len(ks)
+    # Both inputs are already (hash, pos)-sorted, so this is a linear merge
+    # by placement: rev entry i lands after every fwd entry with hash <= its
+    # own (side='right' = fwd-before-rev on ties) plus the i rev entries
+    # before it - no O(n log n) lexsort over the concatenation.
+    U = len(fh) + len(rh)
+    rev_slots = np.searchsorted(fh, rh, side="right") + np.arange(
+        len(rh), dtype=np.int64)
+    is_rev = np.zeros(U, dtype=bool)
+    is_rev[rev_slots] = True
+    ks = np.empty(U, np.uint32)
+    ps = np.empty(U, np.int32)
+    ks[rev_slots] = rh
+    ps[rev_slots] = rp
+    ks[~is_rev] = fh
+    ps[~is_rev] = fp
+    ss = is_rev.astype(np.uint8)
     Up = 8
     while Up < U:
         Up *= 2
@@ -144,14 +153,17 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     # Bucket directory over the top bb hash bits.  24 bits (64 MB) instead
     # of 22 shaves one binary-search round at E. coli scale; the size guard
     # keeps the directory within ~16x the table itself for small genomes.
+    # Built ON DEVICE (scatter-count + cumsum over the uploaded key table):
+    # the host-side 16M-probe searchsorted and the 64 MB directory upload
+    # were the two most expensive pieces of index packing.
     hash_bits = 2 * int(index.k)
     bb = max(1, min(24, hash_bits, (max(U, 2) - 1).bit_length() + 4))
     shift = max(0, hash_bits - bb)
-    edges = (np.arange(1 << bb, dtype=np.uint64) << np.uint64(shift))
-    bo = np.searchsorted(ks, edges.astype(np.uint64),
-                         side="left").astype(np.int32)
-    bo = np.append(bo, U).astype(np.int32)
-    max_bucket = int(np.diff(bo).max()) if U else 1
+
+    key_dev = jnp.asarray(ksp)
+    bo_dev, max_bucket_dev = _bucket_directory(key_dev, jnp.int32(U),
+                                               bb=bb, shift=shift)
+    max_bucket = max(int(jax.device_get(max_bucket_dev)), 1)
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
     L = int(index.ref_len)
@@ -164,11 +176,32 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     ref[1, :L] = np.frombuffer(index.ref_rev_seq.encode("latin1"),
                                dtype=np.uint8)
     return DeviceIndex(
-        key_hash=jnp.asarray(ksp), key_pos=jnp.asarray(psp),
+        key_hash=key_dev, key_pos=jnp.asarray(psp),
         cnt_fr=jnp.asarray(cnt_fr), cnt_r2=jnp.asarray(cnt_r2),
-        bucket_off=jnp.asarray(bo),
+        bucket_off=bo_dev,
         ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L),
         shift=shift, bsearch_steps=steps, cnt_shift=cnt_shift)
+
+
+@functools.partial(jax.jit, static_argnames=("bb", "shift"))
+def _bucket_directory(key_hash: jax.Array, n_real: jax.Array,
+                      *, bb: int, shift: int):
+    """(2^bb + 1,) int32 bucket offsets + the largest bucket size.
+
+    bucket_off[b] = index of the first table entry whose top bb hash bits
+    are >= b (identical to searchsorted over the bucket edges).  Sentinel
+    pads (slots >= n_real) are excluded so bucket_off[2^bb] == n_real and
+    the max-bucket estimate stays tight.
+    """
+    lanes = jnp.arange(key_hash.shape[0], dtype=jnp.int32)
+    valid = lanes < n_real
+    b = jax.lax.shift_right_logical(
+        key_hash, jnp.uint32(shift)).astype(jnp.int32)
+    counts = jnp.zeros((1 << bb,), jnp.int32).at[
+        jnp.where(valid, b, 0)].add(valid.astype(jnp.int32))
+    bo = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                          jnp.cumsum(counts, dtype=jnp.int32)])
+    return bo, jnp.max(counts)
 
 
 def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:

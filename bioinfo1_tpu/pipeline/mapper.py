@@ -543,6 +543,18 @@ class Mapper:
         for start in range(start_at, len(records), cfg.batch_size):
             chunk = records[start:start + cfg.batch_size]
             mappings = self.map_batch([seq for _, seq in chunk])
+            if not per_read_stats:
+                # Native batch serializer (native/paf.cpp) - C++ formatting
+                # like the reference's (team_mapper.cpp:685-698); paf_line
+                # below is the fallback and executable spec.
+                from bioinfo1_tpu import native
+                nat = native.paf_format(
+                    [name for name, _ in chunk],
+                    [len(seq) for _, seq in chunk],
+                    mappings, self.ref_name, self.ref_len, cfg.output_cigar)
+                if nat is not None:
+                    yield start + len(chunk), nat
+                    continue
             stat_h = stat_v = None
             if per_read_stats:
                 # One batched device sweep replaces the O(L*w*k) host oracle

@@ -106,6 +106,41 @@ def test_atof_unit():
     assert _atof("-2") == -2.0
 
 
+def test_streaming_matches_materialized(tmp_path):
+    """-o (streaming ingestion) rows == stdout (materialized) rows, for
+    FASTA and FASTQ, including gzip."""
+    ref, reads = _write_inputs(tmp_path)
+    fq = tmp_path / "reads.fastq"
+    recs = fastx.parse_fasta(reads)
+    with open(fq, "w") as fh:
+        for name, seq in recs:
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    for reads_file in (reads, str(fq)):
+        rc1, stdout, _ = run_ours(["-k", "5", "-w", "2", ref, reads_file])
+        out_path = str(tmp_path / "stream.paf")
+        rc2, _, _ = run_ours(["-k", "5", "-w", "2", "-o", out_path,
+                              ref, reads_file])
+        assert rc1 == rc2 == 0
+        assert open(out_path).read().splitlines() == stdout.splitlines()
+        prog = json.load(open(out_path + ".progress"))
+        assert prog["completed_reads"] == prog["total_reads"] == 3
+
+
+def test_stream_reads_chunking(tmp_path):
+    """stream_reads yields multiple batches under a small chunk budget and
+    concatenates to the same records as the whole-file parser."""
+    reads = tmp_path / "many.fasta"
+    with open(reads, "w") as fh:
+        for i in range(20):
+            fh.write(f">r{i}\n{'ACGT' * 25}\n")
+    stream = fastx.stream_reads(str(reads), chunk_bases=250)
+    batches = list(stream.batches)
+    assert not stream.is_fastq
+    assert len(batches) > 3
+    flat = [r for b in batches for r in b]
+    assert flat == fastx.parse_fasta(str(reads))
+
+
 def test_gzip_reads_ingestion(tmp_path):
     ref, reads = _write_inputs(tmp_path)
     gz = str(tmp_path / "reads.fasta.gz")

@@ -6,7 +6,11 @@ set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="$REPO/build"
 mkdir -p "$OUT"
-SRC=("$REPO"/native/*.cpp)
+SRC=()
+for f in "$REPO"/native/*.cpp; do
+  [[ "$(basename "$f")" == "tsan_test.cpp" ]] && continue  # harness has main()
+  SRC+=("$f")
+done
 NEWEST="$(ls -t "${SRC[@]}" | head -1)"
 if [[ -f "$OUT/libbioinfo1_native.so" && "$OUT/libbioinfo1_native.so" -nt "$NEWEST" ]]; then
   echo "native lib up to date: $OUT/libbioinfo1_native.so"
