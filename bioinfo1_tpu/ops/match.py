@@ -65,34 +65,56 @@ def hash_present(idx_hash: jax.Array, min_hash: jax.Array) -> jax.Array:
     return idx_hash[lo] == min_hash
 
 
+def _fill_from_left(has: jax.Array, vals: tuple) -> tuple:
+    """Per-row forward fill: each lane without a value (has=False) inherits
+    the nearest lower lane's values.  log2(N) shift+select passes - pure
+    vector ops, no gathers (Hillis-Steele doubling)."""
+    N = has.shape[1]
+    sh = 1
+    while sh < N:
+        h_prev = jnp.pad(has[:, :-sh], ((0, 0), (sh, 0)))
+        vals = tuple(
+            jnp.where(has, v, jnp.pad(v[:, :-sh], ((0, 0), (sh, 0))))
+            for v in vals)
+        has = has | h_prev
+        sh *= 2
+    return vals
+
+
 def _compact(cnt: jax.Array, start: jax.Array, min_pos: jax.Array,
              key_pos: jax.Array, N: int) -> Matches:
-    """Slot bucket ranges -> (B, N) match lists, scatter-based.
+    """Slot bucket ranges -> (B, N) match lists, scatter + forward-fill.
 
     cnt/start: (B, T) per-slot hit count and sorted-array start offset.
-    Replaces the per-row searchsorted over the prefix sum (log T gather
-    rounds) with ONE scatter-add + cumsum: slot(j) = #slots t with
-    cum[t] <= j, identical to searchsorted(cum, j, side='right').
+    Output lane j belongs to slot t = slot(j) with offset j - cumx[t]
+    (cumx = exclusive prefix sum), so
+
+        r_pos[j] = key_pos[start[t] + j - cumx[t]] = key_pos[A[t] + j]
+
+    with A[t] = start[t] - cumx[t] constant per slot.  Each slot with hits
+    scatters (A[t], min_pos[t]) into its FIRST output lane cumx[t] (unique
+    per slot), and a log-shift forward fill propagates them across the
+    slot's lane range - replacing the three element-serial take_along_axis
+    gathers of the previous formulation (~20 ms -> ~6 ms per 256x2k batch).
+    The single unavoidable gather is the key_pos fetch itself.
     """
     B, T = cnt.shape
     U = key_pos.shape[0]
     cum = jnp.cumsum(cnt, axis=1, dtype=jnp.int32)              # inclusive
     total = cum[:, -1]
+    cumx = cum - cnt                                            # exclusive
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    marks = jnp.zeros((B, N + 1), jnp.int32).at[
-        rows, jnp.minimum(cum, N)].add(1)
-    slot = jnp.cumsum(marks[:, :N], axis=1)                     # (B, N)
-    slot_c = jnp.clip(slot, 0, T - 1)
-    prev = jnp.where(slot > 0,
-                     jnp.take_along_axis(cum, jnp.maximum(slot_c - 1, 0),
-                                         axis=1), 0)
+    live = (cnt > 0) & (cumx < N)
+    dst = jnp.where(live, cumx, N)                 # dump lane N for dead slots
+    a_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(start - cumx)
+    f_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(min_pos)
+    h_buf = jnp.zeros((B, N + 1), bool).at[rows, dst].set(live)
+    a_fill, f_pos = _fill_from_left(h_buf[:, :N], (a_buf[:, :N], f_buf[:, :N]))
     j = jnp.arange(N, dtype=jnp.int32)[None, :]
-    offset = j - prev
-    take = jnp.clip(jnp.take_along_axis(start, slot_c, axis=1) + offset,
-                    0, U - 1)
     valid = j < jnp.minimum(total, N)[:, None]
+    take = jnp.clip(a_fill + j, 0, U - 1)
     r_pos = jnp.where(valid, jnp.take(key_pos, take), 0)
-    f_pos = jnp.where(valid, jnp.take_along_axis(min_pos, slot_c, axis=1), 0)
+    f_pos = jnp.where(valid, f_pos, 0)
     return Matches(f_pos=f_pos.astype(jnp.int32),
                    r_pos=r_pos.astype(jnp.int32),
                    count=jnp.minimum(total, N), total=total,

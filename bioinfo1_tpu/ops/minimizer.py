@@ -170,21 +170,25 @@ def _first_occurrence_mask(hashes, positions, valid):
     Sort-based: order rows by (hash, pos, slot); within a run of equal
     (hash, pos) only the smallest original slot survives.  Invalid slots
     (sentinel keys) never survive.
+
+    One batched ``lax.sort`` over the row axis plus ONE scatter back to slot
+    order: sorts and scatters are vectorized on TPU, whereas the per-row
+    gather formulation this replaces (vmapped ``h[order]``) lowered to
+    element-serial gathers (~37 ms per 256x4k batch -> ~3 ms).
     """
     B, T = hashes.shape
     slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
-
-    def per_row(h, p, s, v):
-        order = jnp.lexsort((s, p, h))
-        hs, ps, ss, vs = h[order], p[order], s[order], v[order]
-        new_run = jnp.concatenate([
-            jnp.ones((1,), dtype=bool),
-            (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1]),
-        ])
-        keep_sorted = new_run & vs
-        return jnp.zeros((T,), dtype=bool).at[ss].set(keep_sorted)
-
-    return jax.vmap(per_row)(hashes, positions, slot, valid)
+    # Stability comes from slot as the 3rd key; `valid` rides along.
+    hs, ps, ss, vs = jax.lax.sort(
+        (hashes, positions, slot, valid.astype(jnp.int8)),
+        dimension=1, num_keys=3)
+    new_run = jnp.concatenate([
+        jnp.ones((B, 1), dtype=bool),
+        (hs[:, 1:] != hs[:, :-1]) | (ps[:, 1:] != ps[:, :-1]),
+    ], axis=1)
+    keep_sorted = new_run & (vs != 0)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    return jnp.zeros((B, T), dtype=bool).at[rows, ss].set(keep_sorted)
 
 
 def window_frequencies(hashes: jax.Array, valid: jax.Array,
