@@ -161,9 +161,16 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     shift = max(0, hash_bits - bb)
 
     key_dev = jnp.asarray(ksp)
-    bo_dev, max_bucket_dev = _bucket_directory(key_dev, jnp.int32(U),
-                                               bb=bb, shift=shift)
-    max_bucket = max(int(jax.device_get(max_bucket_dev)), 1)
+    bo_dev, _ = _bucket_directory(key_dev, jnp.int32(U), bb=bb, shift=shift)
+    # max bucket (-> binary-search depth) computed HOST-side: a device_get
+    # here stalled for minutes on the flaky axon tunnel (the only D2H fetch
+    # in the pack path); np.bincount over 4M entries is ~20 ms.
+    if U:
+        max_bucket = int(np.bincount(ks >> np.uint32(shift),
+                                     minlength=1).max())
+    else:
+        max_bucket = 1
+    max_bucket = max(max_bucket, 1)
     steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
     L = int(index.ref_len)
