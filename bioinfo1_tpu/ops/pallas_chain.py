@@ -102,6 +102,43 @@ def _kernel(n, f_ref, r_ref, cnt_ref, len_ref, qs_ref, qe_ref, ts_ref,
     te_ref[...] = _lane_select(r, end)
 
 
+def _permute_rows(arr: jax.Array, order: jax.Array) -> jax.Array:
+    """arr[order, :] as a sliced gather (contiguous rows are cheap; a plain
+    arr[order] lowers to an element-serial gather on TPU)."""
+    B, N = arr.shape
+    starts = jnp.stack([order.astype(jnp.int32),
+                        jnp.zeros((order.shape[0],), jnp.int32)], axis=1)
+    return jax.lax.gather(
+        arr, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, N), mode="clip")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lis_chain_sorted(f_pos: jax.Array, r_pos: jax.Array, count: jax.Array,
+                     interpret: bool = False) -> ChainResult:
+    """lis_chain with rows processed in descending match-count order.
+
+    The kernel's serial DP loop runs to each TILE's max count; unsorted
+    batches mix near-empty rows (the wrong-strand chain of every read)
+    into every tile, making all tiles pay the global max.  Sorting rows by
+    count makes tiles homogeneous, so empty-ish tiles finish immediately -
+    ~2x on the fwd+rev fused batch.  Results are scattered back to input
+    order; output is identical to lis_chain."""
+    B, N = f_pos.shape
+    order = jnp.argsort(-count.astype(jnp.int32))
+    res = lis_chain(_permute_rows(f_pos, order),
+                    _permute_rows(r_pos, order),
+                    count[order], interpret=interpret)
+    inv = jnp.zeros((B,), jnp.int32).at[order].set(
+        jnp.arange(B, dtype=jnp.int32))
+    return ChainResult(length=res.length[inv], q_start=res.q_start[inv],
+                       q_end=res.q_end[inv], t_start=res.t_start[inv],
+                       t_end=res.t_end[inv])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lis_chain(f_pos: jax.Array, r_pos: jax.Array, count: jax.Array,
               interpret: bool = False) -> ChainResult:

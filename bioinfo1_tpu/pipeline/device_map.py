@@ -212,11 +212,41 @@ def _bucket_directory(key_hash: jax.Array, n_real: jax.Array,
 
 
 def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
-    """Gather (B, cap) windows src[b, begin[b] : begin[b]+cap] with clamp."""
-    B = begin.shape[0]
-    idx = begin[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(idx, 0, src.shape[-1] - 1)
-    return jnp.take_along_axis(src, idx, axis=-1)
+    """(B, cap) contiguous windows src[b, begin[b] : begin[b]+cap].
+
+    One sliced lax.gather: contiguous row slices cost ~0.2 ms per 256x8k
+    batch where the elementwise take_along_axis formulation lowered to an
+    element-serial gather (~20 ms).  The source is zero-padded by cap so a
+    window overrunning the row end reads zeros (lanes beyond the region
+    length are masked downstream either way)."""
+    B, W = src.shape
+    src_p = jnp.pad(src, ((0, 0), (0, cap)))
+    starts = jnp.stack([jnp.arange(B, dtype=jnp.int32),
+                        jnp.clip(begin, 0, W)], axis=1)
+    return jax.lax.gather(
+        src_p, starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, cap), mode="clip")
+
+
+def _extract_flat_windows(src: jax.Array, begin: jax.Array,
+                          cap: int) -> jax.Array:
+    """(B, cap) contiguous windows src[begin[b] : begin[b]+cap] from a 1-D
+    source (sliced gather; see _extract_windows).  Starts are clamped to
+    keep the slice in bounds; the source is padded up when shorter than
+    cap (tiny test genomes)."""
+    n = src.shape[0]
+    if n < cap:
+        src = jnp.pad(src, (0, cap - n))
+        n = cap
+    return jax.lax.gather(
+        src, jnp.clip(begin, 0, n - cap)[:, None],
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,)),
+        slice_sizes=(cap,), mode="clip")
 
 
 def _map_core(reads, lens, index, *, k, w, budget, region_cap,
@@ -241,12 +271,20 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
         index.bucket_off, index.shift, index.bsearch_steps, budget,
         index.cnt_shift)
     if use_pallas:
+        # One fused kernel call over both strands' rows, sorted by match
+        # count: the true-strand rows (~1000 matches) and wrong-strand rows
+        # (~none) land in separate tiles, so the per-tile DP bound lets the
+        # empty tiles finish immediately (~2x over two unsorted calls).
         from bioinfo1_tpu.ops import pallas_chain
-        chain_fn = pallas_chain.lis_chain
+        both = pallas_chain.lis_chain_sorted(
+            jnp.concatenate([got_f.f_pos, got_r.f_pos], axis=0),
+            jnp.concatenate([got_f.r_pos, got_r.r_pos], axis=0),
+            jnp.concatenate([got_f.count, got_r.count], axis=0))
+        cf = jax.tree.map(lambda a: a[:B], both)
+        cr = jax.tree.map(lambda a: a[B:], both)
     else:
-        chain_fn = chain_ops.lis_chain
-    cf = chain_fn(got_f.f_pos, got_f.r_pos, got_f.count)
-    cr = chain_fn(got_r.f_pos, got_r.r_pos, got_r.count)
+        cf = chain_ops.lis_chain(got_f.f_pos, got_f.r_pos, got_f.count)
+        cr = chain_ops.lis_chain(got_r.f_pos, got_r.r_pos, got_r.count)
 
     use_fwd = cf.length >= cr.length          # ties forward (quirk #8)
     mapped = jnp.where(use_fwd, cf.length, cr.length) > 0
@@ -273,8 +311,7 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
     ref_flat = index.ref_bytes.reshape(-1)
     ref_pad = index.ref_bytes.shape[-1]
     t_base = strand_row * ref_pad + jnp.maximum(t_begin, 0)
-    t_idx = t_base[:, None] + jnp.arange(region_cap, dtype=jnp.int32)[None, :]
-    t_win = jnp.take(ref_flat, jnp.clip(t_idx, 0, 2 * ref_pad - 1))
+    t_win = _extract_flat_windows(ref_flat, t_base, region_cap)
 
     return (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
             q_win, t_win, q_len, t_len)

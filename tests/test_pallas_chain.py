@@ -74,3 +74,18 @@ def test_pallas_chain_direct_cases():
         np.testing.assert_array_equal(
             jax.device_get(getattr(got, field))[has],
             jax.device_get(getattr(want, field))[has])
+
+
+def test_pallas_chain_sorted_matches_lax():
+    """lis_chain_sorted: count-sorted tiling must not change any output."""
+    f, r, cnt = _random_matches(23, B=17, N=96)
+    want = chain_ops.lis_chain(f, r, cnt)
+    got = pc.lis_chain_sorted(f, r, cnt, interpret=True)
+    has = jax.device_get(want.length) > 0
+    for field in ("length", "q_start", "q_end", "t_start", "t_end"):
+        w = jax.device_get(getattr(want, field))
+        g = jax.device_get(getattr(got, field))
+        if field == "length":
+            np.testing.assert_array_equal(g, w)
+        else:
+            np.testing.assert_array_equal(g[has], w[has], err_msg=field)
