@@ -26,7 +26,8 @@ sys.path.insert(0, REPO)
 GENOME_LEN = 4_641_652      # E. coli K-12 MG1655 size (BASELINE.md)
 READ_LEN = 4096
 N_READS = 256               # timed batch total
-BATCH = 64                  # reads per device step (pipelined dispatches)
+BATCH = 256                 # reads per device step (best measured config;
+                            # see tools/profile_step.py sweep)
 K, W, F = 15, 5, 0.001
 SEED = 20250817
 BAND = 128                  # banded wavefront width (certified-exact)

@@ -106,10 +106,12 @@ def _compact(cnt: jax.Array, start: jax.Array, min_pos: jax.Array,
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     live = (cnt > 0) & (cumx < N)
     dst = jnp.where(live, cumx, N)                 # dump lane N for dead slots
-    a_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(start - cumx)
+    NO_A = jnp.int32(-(2**31))                     # A >= -N always, so safe
+    a_buf = jnp.full((B, N + 1), NO_A, jnp.int32).at[rows, dst].set(
+        jnp.where(live, start - cumx, NO_A))
     f_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(min_pos)
-    h_buf = jnp.zeros((B, N + 1), bool).at[rows, dst].set(live)
-    a_fill, f_pos = _fill_from_left(h_buf[:, :N], (a_buf[:, :N], f_buf[:, :N]))
+    a_fill, f_pos = _fill_from_left(a_buf[:, :N] != NO_A,
+                                    (a_buf[:, :N], f_buf[:, :N]))
     j = jnp.arange(N, dtype=jnp.int32)[None, :]
     valid = j < jnp.minimum(total, N)[:, None]
     take = jnp.clip(a_fill + j, 0, U - 1)
@@ -181,7 +183,13 @@ def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
     q = min_hash.astype(jnp.uint32)
     b = jax.lax.shift_right_logical(q, jnp.uint32(shift)).astype(jnp.int32)
     lo = jnp.take(bucket_off, b)
-    hi = jnp.take(bucket_off, b + 1)
+    # Upper bound lo + 2^steps - 1 instead of gathering bucket_off[b+1]:
+    # the table is GLOBALLY sorted, so the search stays correct for any
+    # hi >= the run position, which is at most lo + bucket_size
+    # <= lo + 2^steps - 1 (steps = ceil(log2(max_bucket+1)) by
+    # construction), and `steps` halvings converge any range of
+    # 2^steps - 1 - one less element-serial gather round.
+    hi = lo + (1 << steps) - 1
     for _ in range(steps):
         mid = (lo + hi) // 2
         v = jnp.take(key_hash, jnp.clip(mid, 0, U - 1))

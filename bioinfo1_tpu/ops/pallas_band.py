@@ -191,7 +191,7 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
 def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
                         t_bytes: jax.Array, t_lens: jax.Array,
                         match: jax.Array, mismatch: jax.Array,
-                        gap: jax.Array, band: int = 256, block: int = 32,
+                        gap: jax.Array, band: int = 256, block: int = 0,
                         interpret: bool = False,
                         want_parents: bool = False) -> AlignOut:
     """Banded global-mode scores; exact iff `certify(...)` (else a lower
@@ -207,7 +207,10 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     B, n = q_bytes.shape
     m = t_bytes.shape[1]
     W = _round_up(band, 128)
-    BT = block
+    # block=0: widest tile the batch fills - grid tiles run sequentially, so
+    # fewer/wider tiles cut the serial step count (measured 45 -> 33 ms per
+    # 256x4k batch going 32 -> 128) while staying well inside VMEM.
+    BT = block if block else (128 if B >= 128 else 64 if B >= 64 else 32)
     b_pad = _round_up(max(B, BT), BT)
     n_pad = _round_up(max(n, 128), 128)
     # The band never touches j > i + W, so the target tail beyond n+W is
