@@ -176,7 +176,7 @@ def measure_product(genome):
     mixed = make_reads([1500, 3000, 6000] * 64)         # 192 reads, 3 buckets
     cig = make_reads([4096] * 128)
 
-    cfg = MapperConfig(batch_size=64)
+    cfg = MapperConfig()        # CLI defaults (batch_size=512)
     mapper = Mapper([("ref", genome_str)], cfg)
 
     def timed(records):

@@ -181,23 +181,34 @@ def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
     """
     U = key_hash.shape[0]
     q = min_hash.astype(jnp.uint32)
-    b = jax.lax.shift_right_logical(q, jnp.uint32(shift)).astype(jnp.int32)
-    lo = jnp.take(bucket_off, b)
-    # Upper bound lo + 2^steps - 1 instead of gathering bucket_off[b+1]:
-    # the table is GLOBALLY sorted, so the search stays correct for any
-    # hi >= the run position, which is at most lo + bucket_size
-    # <= lo + 2^steps - 1 (steps = ceil(log2(max_bucket+1)) by
-    # construction), and `steps` halvings converge any range of
-    # 2^steps - 1 - one less element-serial gather round.
-    hi = lo + (1 << steps) - 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        v = jnp.take(key_hash, jnp.clip(mid, 0, U - 1))
-        go = v < q
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
+    if steps == 0:
+        # Direct-address mode: bucket_off spans the WHOLE hash space
+        # (shift == 0), so bucket_off[q] IS the run start and
+        # bucket_off[q+1] - bucket_off[q] the run size - no binary search,
+        # no key-equality probe: 2 gathers replace 5.
+        qi = q.astype(jnp.int32)
+        lo = jnp.take(bucket_off, qi)
+        present = (jnp.take(bucket_off, qi + 1) > lo) & keep
+    else:
+        b = jax.lax.shift_right_logical(
+            q, jnp.uint32(shift)).astype(jnp.int32)
+        lo = jnp.take(bucket_off, b)
+        # Upper bound lo + 2^steps - 1 instead of gathering bucket_off[b+1]:
+        # the table is GLOBALLY sorted, so the search stays correct for any
+        # hi >= the run position, which is at most lo + bucket_size
+        # <= lo + 2^steps - 1 (steps = ceil(log2(max_bucket+1)) by
+        # construction), and `steps` halvings converge any range of
+        # 2^steps - 1 - one less element-serial gather round.
+        hi = lo + (1 << steps) - 1
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            v = jnp.take(key_hash, jnp.clip(mid, 0, U - 1))
+            go = v < q
+            lo = jnp.where(go, mid + 1, lo)
+            hi = jnp.where(go, hi, mid)
+        loc0 = jnp.clip(lo, 0, U - 1)
+        present = (jnp.take(key_hash, loc0) == q) & keep
     loc = jnp.clip(lo, 0, U - 1)
-    present = (jnp.take(key_hash, loc) == q) & keep
     if cnt_shift:
         both = jnp.where(present, jnp.take(cnt_fr, loc), jnp.uint32(0))
         cf = (both & jnp.uint32((1 << cnt_shift) - 1)).astype(jnp.int32)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,21 +158,31 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     # the host-side 16M-probe searchsorted and the 64 MB directory upload
     # were the two most expensive pieces of index packing.
     hash_bits = 2 * int(index.k)
-    bb = max(1, min(24, hash_bits, (max(U, 2) - 1).bit_length() + 4))
-    shift = max(0, hash_bits - bb)
-
+    # Direct-address mode: a directory over the WHOLE hash space turns the
+    # lookup into 2 gathers (run start + size), no binary search and no
+    # key-equality probe.  Worth its HBM (4 bytes per possible hash: 4 GB
+    # at k=15) only for genome-scale indexes; tiny test indexes keep the
+    # compact bucketed directory.  BIOINFO1_DIRECT_INDEX=0/1 overrides.
+    env_direct = os.environ.get("BIOINFO1_DIRECT_INDEX")
+    direct = (hash_bits <= 30 and U >= (1 << 20)) if env_direct is None \
+        else env_direct not in ("0", "false")
+    if direct:
+        bb, shift, steps = hash_bits, 0, 0
+    else:
+        bb = max(1, min(24, hash_bits, (max(U, 2) - 1).bit_length() + 4))
+        shift = max(0, hash_bits - bb)
     key_dev = jnp.asarray(ksp)
     bo_dev, _ = _bucket_directory(key_dev, jnp.int32(U), bb=bb, shift=shift)
-    # max bucket (-> binary-search depth) computed HOST-side: a device_get
-    # here stalled for minutes on the flaky axon tunnel (the only D2H fetch
-    # in the pack path); np.bincount over 4M entries is ~20 ms.
-    if U:
-        max_bucket = int(np.bincount(ks >> np.uint32(shift),
-                                     minlength=1).max())
-    else:
-        max_bucket = 1
-    max_bucket = max(max_bucket, 1)
-    steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+    if not direct:
+        # max bucket (-> binary-search depth) computed HOST-side: a
+        # device_get here stalled for minutes on the flaky axon tunnel (the
+        # only D2H fetch in the pack path); np.bincount is ~20 ms.
+        if U:
+            max_bucket = int(np.bincount(ks >> np.uint32(shift),
+                                         minlength=1).max())
+        else:
+            max_bucket = 1
+        steps = max(1, int(np.ceil(np.log2(max(max_bucket, 1) + 1))))
 
     L = int(index.ref_len)
     cap = 16

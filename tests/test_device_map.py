@@ -171,3 +171,22 @@ def test_map_step_cigar_certificate_fallback(problem):
     host_m._fast_path_ok = lambda: False
     host_lines = host_m.map_records(records)
     assert fused_lines == host_lines
+
+
+def test_direct_index_mode_matches(problem, monkeypatch):
+    """Direct-address directory (steps=0) vs the bucketed binary search:
+    identical mapping output on the same index."""
+    genome, index, didx, reads, arr, lens = problem
+    monkeypatch.setenv("BIOINFO1_DIRECT_INDEX", "1")
+    ddx = dm.device_index_from_host(index)
+    assert ddx.bsearch_steps == 0
+    assert ddx.bucket_off.shape[0] == (1 << (2 * K)) + 1
+    args = (jnp.asarray(arr), jnp.asarray(lens))
+    scoring = (jnp.int32(1), jnp.int32(-1), jnp.int32(-1))
+    a = jax.device_get(dm.map_step(*args, didx, *scoring, k=K, w=W,
+                                   mode=0, budget=1024, region_cap=1024))
+    b = jax.device_get(dm.map_step(*args, ddx, *scoring, k=K, w=W,
+                                   mode=0, budget=1024, region_cap=1024))
+    for f in ("mapped", "is_fwd", "q_begin", "q_end", "t_begin", "t_end",
+              "score", "overflow"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), f)
