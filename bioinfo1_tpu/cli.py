@@ -317,7 +317,7 @@ def main(argv: Optional[List[str]] = None,
         # Constant memory: record batches stream off disk, map, append,
         # checkpoint (total_reads unknown until the stream ends).
         done = 0
-        with open(out_path, file_mode) as paf_out:
+        with timers.stage("map"), open(out_path, file_mode) as paf_out:
             for batch in stream.batches:
                 lo = max(0, start_at - done)
                 if lo >= len(batch):
@@ -334,6 +334,8 @@ def main(argv: Optional[List[str]] = None,
                 done += len(batch)
         with open(progress_path, "w") as fh:
             _json.dump({"completed_reads": done, "total_reads": done}, fh)
+        if profile:
+            print(timers.report(), file=err)
         return 0
 
     with open(out_path, file_mode) as paf_out:

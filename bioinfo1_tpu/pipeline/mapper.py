@@ -501,12 +501,18 @@ class Mapper:
                     if not sub_idxs:
                         continue
                     sub = [seqs[i] for i in sub_idxs]
-                    # Budget scales with the bucket's read length (a read
-                    # has ~2L/(w+1) minimizers, typically ~1 hit each), so
-                    # long reads don't start at a budget they are guaranteed
-                    # to overflow; retries keep doubling from there.
+                    # Budget scales with the bucket's CAP (a read has
+                    # ~2L/(w+1) minimizers, typically ~1 hit each), so long
+                    # reads don't start at a budget they are guaranteed to
+                    # overflow; retries keep doubling from there.  Derived
+                    # from the pow-2 cap - NOT the batch's max read length -
+                    # so the jit key is stable across batches of the same
+                    # bucket (a data-dependent budget recompiled the fused
+                    # step whenever a batch's longest read crossed a pow-2
+                    # boundary).
                     max_len = max(len(s) for s in sub)
-                    b_budget = _pow2_at_least(max(budget, max_len // 2), 8)
+                    cap = _pow2_at_least(max(max_len, cfg.k + cfg.w - 1), 16)
+                    b_budget = _pow2_at_least(max(budget, cap // 2), 8)
                     b_budget *= 1 << (attempts - 1)
                     if on_device:
                         res, retry, host_retry = self._map_bucket_fused(
@@ -531,51 +537,100 @@ class Mapper:
                 break
         return results
 
+    def _format_chunk(self, chunk: Sequence[Tuple[str, str]],
+                      mappings: Sequence[ReadMapping],
+                      per_read_stats: bool) -> List[List[str]]:
+        """Per-record output lines for one mapped chunk (stats + PAF)."""
+        cfg = self.cfg
+        per_rec: List[List[str]] = [[] for _ in chunk]
+        if per_read_stats:
+            # One batched device sweep replaces the O(L*w*k) host oracle
+            # per read; the window-win stream (duplicates included) is
+            # identical to rm.minimize's emit list.
+            from bioinfo1_tpu.utils import stats as st
+            arr, lens = _pack_reads([seq for _, seq in chunk],
+                                    cfg.k + cfg.w - 1)
+            sres = mz.minimize_batch(arr, lens, cfg.k, cfg.w,
+                                     oob_end_windows=cfg.oob_end_windows)
+            stat_h = np.asarray(jax.device_get(sres.hashes))
+            stat_v = np.asarray(jax.device_get(sres.valid))
+            for bi in range(len(chunk)):
+                per_rec[bi].append(st.read_statistics(stat_h[bi],
+                                                      stat_v[bi]))
+        # Native batch serializer (native/paf.cpp) - C++ formatting like the
+        # reference's (team_mapper.cpp:685-698); paf_line is the fallback
+        # and executable spec.  It emits one line per MAPPED read in order.
+        from bioinfo1_tpu import native
+        nat = native.paf_format(
+            [name for name, _ in chunk], [len(seq) for _, seq in chunk],
+            mappings, self.ref_name, self.ref_len, cfg.output_cigar)
+        if nat is not None:
+            it = iter(nat)
+            for bi, m in enumerate(mappings):
+                if m.mapped:
+                    per_rec[bi].append(next(it))
+        else:
+            for bi, ((name, seq), m) in enumerate(zip(chunk, mappings)):
+                if m.mapped:
+                    per_rec[bi].append(paf_line(
+                        name, len(seq), m, self.ref_name, self.ref_len,
+                        cfg.output_cigar))
+        return per_rec
+
     def map_records_iter(self, records: Sequence[Tuple[str, str]],
                          per_read_stats: bool = False, start_at: int = 0):
-        """Yield (next_record_index, lines) per batch in input order.
+        """Yield (next_record_index, lines) in input order.
 
-        ``start_at`` skips already-processed records (checkpoint/resume;
-        the reference has no such facility - it restarts from scratch,
-        SURVEY.md section 5).
+        Records accumulate into per-length-bucket queues that flush at a
+        FIXED size (the pow-2 batch size), so every steady-state device
+        batch has the same padded shape - one jit specialization per bucket
+        instead of a recompile whenever a window's bucket census crosses a
+        pow-2 boundary - and short/long reads never share (and thus pad)
+        one bucket's dispatch.  Completed records are buffered until their
+        input-order turn; yields carry the contiguous completed prefix, so
+        checkpoint/resume (``start_at``; the reference restarts from
+        scratch, SURVEY.md section 5) stays exact.
         """
         cfg = self.cfg
-        for start in range(start_at, len(records), cfg.batch_size):
-            chunk = records[start:start + cfg.batch_size]
+        flush_size = _pow2_at_least(cfg.batch_size, 8)
+        floor = cfg.k + cfg.w - 1
+        queues: dict = {}               # cap -> [(idx, name, seq), ...]
+        results: dict = {}              # idx -> [lines]
+        emitted = start_at
+
+        def flush(cap):
+            entries = queues.pop(cap)
+            chunk = [(name, seq) for _, name, seq in entries]
             mappings = self.map_batch([seq for _, seq in chunk])
-            if not per_read_stats:
-                # Native batch serializer (native/paf.cpp) - C++ formatting
-                # like the reference's (team_mapper.cpp:685-698); paf_line
-                # below is the fallback and executable spec.
-                from bioinfo1_tpu import native
-                nat = native.paf_format(
-                    [name for name, _ in chunk],
-                    [len(seq) for _, seq in chunk],
-                    mappings, self.ref_name, self.ref_len, cfg.output_cigar)
-                if nat is not None:
-                    yield start + len(chunk), nat
-                    continue
-            stat_h = stat_v = None
-            if per_read_stats:
-                # One batched device sweep replaces the O(L*w*k) host oracle
-                # per read; the window-win stream (duplicates included) is
-                # identical to rm.minimize's emit list.
-                arr, lens = _pack_reads([seq for _, seq in chunk],
-                                        cfg.k + cfg.w - 1)
-                sres = mz.minimize_batch(
-                    arr, lens, cfg.k, cfg.w,
-                    oob_end_windows=cfg.oob_end_windows)
-                stat_h = np.asarray(jax.device_get(sres.hashes))
-                stat_v = np.asarray(jax.device_get(sres.valid))
+            for (idx, _, _), lines in zip(
+                    entries, self._format_chunk(chunk, mappings,
+                                                per_read_stats)):
+                results[idx] = lines
+
+        def drain():
+            nonlocal emitted
             lines: List[str] = []
-            for bi, ((name, seq), m) in enumerate(zip(chunk, mappings)):
-                if per_read_stats:
-                    from bioinfo1_tpu.utils import stats as st
-                    lines.append(st.read_statistics(stat_h[bi], stat_v[bi]))
-                if m.mapped:
-                    lines.append(paf_line(name, len(seq), m, self.ref_name,
-                                          self.ref_len, cfg.output_cigar))
-            yield start + len(chunk), lines
+            while emitted in results:
+                lines.extend(results.pop(emitted))
+                emitted += 1
+            return lines
+
+        last_yield = start_at
+        for idx in range(start_at, len(records)):
+            name, seq = records[idx]
+            cap = _pow2_at_least(max(len(seq), floor), 16)
+            queues.setdefault(cap, []).append((idx, name, seq))
+            if len(queues[cap]) >= flush_size:
+                flush(cap)
+                lines = drain()
+                if lines or emitted > last_yield:
+                    last_yield = emitted
+                    yield emitted, lines
+        while queues:
+            flush(next(iter(queues)))
+        lines = drain()
+        if lines or emitted > last_yield:
+            yield emitted, lines
 
     def map_records(self, records: Sequence[Tuple[str, str]],
                     per_read_stats: bool = False) -> List[str]:
