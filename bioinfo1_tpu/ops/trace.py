@@ -98,3 +98,36 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
               score.astype(jnp.int32))
     _, codes = jax.lax.scan(step, carry0, None, length=S + 2)
     return codes
+
+
+@jax.jit
+def pack_codes(codes: jax.Array) -> jax.Array:
+    """Pack (S, B) op codes 4-per-byte for the device->host fetch.
+
+    Codes are 2 bits of information ({M, I, D, done}); shipping them as one
+    byte each made the fetch the fused -c path's largest cost on the remote
+    TPU link (~2 MB -> ~50 ms per 256x4k batch).  done (255) maps to 3;
+    rows are padded with done.  Inverse: unpack_codes_np.
+    """
+    S, B = codes.shape
+    s_pad = -(-S // 4) * 4
+    c = jnp.minimum(codes.astype(jnp.uint32), 3)
+    c = jnp.concatenate(
+        [c, jnp.full((s_pad - S, B), 3, jnp.uint32)], axis=0)
+    c = c.reshape(s_pad // 4, 4, B)
+    shifts = (2 * jnp.arange(4, dtype=jnp.uint32))[None, :, None]
+    return jnp.sum(c << shifts, axis=1).astype(jnp.uint8)
+
+
+def unpack_codes_np(packed) -> "np.ndarray":
+    """Host inverse of pack_codes: (S4, B) uint8 -> (4*S4, B) op codes
+    (vectorized numpy; 3 maps back to done=255).  Trailing done padding is
+    harmless - the RLE stops at the first done code."""
+    import numpy as np
+    p = np.asarray(packed)
+    s4, B = p.shape
+    out = np.empty((s4, 4, B), np.uint8)
+    for k in range(4):
+        out[:, k, :] = (p >> (2 * k)) & 3
+    out = out.reshape(4 * s4, B)
+    return np.where(out == 3, np.uint8(OP_DONE), out)

@@ -394,8 +394,9 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
 class CigarOut:
     """map_step_cigar output: MapOut plus the traceback walk.
 
-    codes: (steps, B) uint8 op codes (0=M 1=I 2=D 255=done) in goal->origin
-    order - the host only run-length encodes them (utils/cigar.py).
+    codes: (steps/4, B) uint8 op codes PACKED 4-per-byte (ops/trace.py
+    pack_codes; unpack with unpack_codes_np) in goal->origin order - the
+    host only run-length encodes them (utils/cigar.py).
     q_len/t_len: alignment-region lengths (the RLE needs them for the
     semiGlobal corner pad).  certified: the banded traceback is provably
     byte-identical to the full DP's; the host re-routes uncertified reads
@@ -455,9 +456,9 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                            match, mismatch, gap, band, strict=True,
                            lane_multiple=lane_mult)
     walk_band = -(-band // lane_mult) * lane_mult
-    codes = tr.walk_parents(out.parents, out.goal_i, out.goal_j, out.score,
-                            q_win, t_win, match, mismatch, gap,
-                            mode=mode, band=walk_band)
+    codes = tr.pack_codes(tr.walk_parents(
+        out.parents, out.goal_i, out.goal_j, out.score,
+        q_win, t_win, match, mismatch, gap, mode=mode, band=walk_band))
     base = MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,

@@ -260,10 +260,11 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
             # (ops/trace.py) - no 10^2 MB parents fetch, no per-base Python.
             from bioinfo1_tpu.ops import trace as tr
             walk_band = (-(-band // lane_mult) * lane_mult) if banded else 0
-            codes = jax.device_get(tr.walk_parents(
-                out.parents, out.goal_i, out.goal_j, out.score,
-                qa, ta, cfg.match, cfg.mismatch, cfg.gap,
-                mode=al.MODE_BY_NAME[cfg.align_type], band=walk_band))
+            codes = tr.unpack_codes_np(jax.device_get(tr.pack_codes(
+                tr.walk_parents(
+                    out.parents, out.goal_i, out.goal_j, out.score,
+                    qa, ta, cfg.match, cfg.mismatch, cfg.gap,
+                    mode=al.MODE_BY_NAME[cfg.align_type], band=walk_band))))
 
         for b, i in enumerate(jobs):
             cigar = None
@@ -444,6 +445,10 @@ class Mapper:
         results: List[ReadMapping] = []
         retry: List[int] = []
         host_retry: List[int] = []
+        codes = None
+        if cig is not None:
+            from bioinfo1_tpu.ops.trace import unpack_codes_np
+            codes = unpack_codes_np(cig.codes)
         for i in range(len(seqs)):
             if out.overflow[i]:
                 results.append(ReadMapping(mapped=False))
@@ -458,7 +463,7 @@ class Mapper:
                 target_begin = None
                 if cig is not None:
                     cigar, target_begin = cg.cigar_from_codes(
-                        cig.codes[:, i], cfg.align_type,
+                        codes[:, i], cfg.align_type,
                         int(cig.goal_i[i]), int(cig.goal_j[i]),
                         int(cig.q_len[i]), int(cig.t_len[i]),
                         sam_convention=cfg.sam_cigar,
