@@ -159,3 +159,30 @@ def test_gzip_fastq_sniffing(tmp_path):
     sniffed = fastx.parse_reads(gz)
     assert sniffed.is_fastq
     assert sniffed.records == [("r1", "ACGTACGT")]
+
+
+def test_repeat_genome_budget_retry(tmp_path):
+    """A repeat-dense genome overflows small match budgets; the retry loop
+    must converge to the same output a generous budget produces (exercises
+    the fused path's overflow -> doubled-budget -> host-fallback ladder)."""
+    import random
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+
+    rng = random.Random(5)
+    unit = "".join(rng.choice("ACGT") for _ in range(400))
+    spacer = lambda: "".join(rng.choice("ACGT") for _ in range(300))
+    genome = "".join(unit + spacer() for _ in range(12))
+    reads = []
+    for i in range(6):
+        start = rng.randrange(0, len(genome) - 700)
+        frag = genome[start:start + 700]
+        frag = "".join(c if rng.random() > 0.02 else rng.choice("ACGT")
+                       for c in frag)
+        reads.append((f"r{i}", frag))
+
+    base = MapperConfig(k=11, w=3, f=0.0)
+    tiny = MapperConfig(k=11, w=3, f=0.0, initial_match_budget=8)
+    want = Mapper([("ref", genome)], base).map_records(reads)
+    got = Mapper([("ref", genome)], tiny).map_records(reads)
+    assert want == got
+    assert any("\t" in l for l in want)      # something actually mapped
