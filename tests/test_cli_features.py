@@ -186,3 +186,58 @@ def test_repeat_genome_budget_retry(tmp_path):
     got = Mapper([("ref", genome)], tiny).map_records(reads)
     assert want == got
     assert any("\t" in l for l in want)      # something actually mapped
+
+
+def test_crash_mid_run_resume_identical(tmp_path):
+    """Fault injection: kill the mapper mid-run (SIGKILL), then --resume.
+    The resumed output must be byte-identical to an uninterrupted run -
+    the checkpoint only ever records the contiguous completed prefix."""
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACGT") for _ in range(20000))
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(f">ref\n{genome}\n")
+    reads = tmp_path / "reads.fasta"
+    with open(reads, "w") as fh:
+        for i in range(30):
+            start = rng.randrange(0, len(genome) - 400)
+            fh.write(f">r{i}\n{genome[start:start + 400]}\n")
+
+    env = dict(os.environ, BIOINFO1_PLATFORM="cpu")
+    base = [sys.executable, "-m", "bioinfo1_tpu.cli", "-k", "11", "-w", "3",
+            "--batch-size", "4", str(ref), str(reads)]
+    full = tmp_path / "full.paf"
+    subprocess.run(base[:2] + base[2:-2] + ["-o", str(full)] + base[-2:],
+                   env=env, check=True, timeout=600,
+                   cwd=os.path.dirname(os.path.dirname(__file__)))
+    want = full.read_text()
+
+    part = tmp_path / "part.paf"
+    cmd = base[:2] + base[2:-2] + ["-o", str(part)] + base[-2:]
+    repo = os.path.dirname(os.path.dirname(__file__))
+    proc = subprocess.Popen(cmd, env=env, cwd=repo)
+    # Kill as soon as SOME progress is checkpointed but before completion.
+    deadline = time.time() + 300
+    killed = False
+    prog = str(part) + ".progress"
+    while time.time() < deadline:
+        if os.path.exists(prog):
+            done = json.load(open(prog)).get("completed_reads", 0)
+            if 0 < done < 30:
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+                break
+            if done >= 30:
+                break          # finished before we could kill - still fine
+        time.sleep(0.02)
+    proc.wait(timeout=600)
+
+    rc = subprocess.run(cmd + ["--resume"], env=env, timeout=600,
+                        cwd=repo).returncode
+    assert rc == 0
+    assert part.read_text() == want, f"killed={killed}"
