@@ -164,8 +164,15 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
     # at k=15) only for genome-scale indexes; tiny test indexes keep the
     # compact bucketed directory.  BIOINFO1_DIRECT_INDEX=0/1 overrides.
     env_direct = os.environ.get("BIOINFO1_DIRECT_INDEX")
-    direct = (hash_bits <= 30 and U >= (1 << 20)) if env_direct is None \
-        else env_direct not in ("0", "false")
+    if env_direct is None:
+        direct = hash_bits <= 30 and U >= (1 << 20)
+    else:
+        direct = env_direct not in ("0", "false")
+        if direct and hash_bits > 30:
+            raise ValueError(
+                f"BIOINFO1_DIRECT_INDEX=1 needs 2*k <= 30 hash bits (got "
+                f"{hash_bits}): a 2^{hash_bits}-entry directory would not "
+                "fit, and int32 bucket indexes would wrap")
     if direct:
         bb, shift, steps = hash_bits, 0, 0
     else:
@@ -245,15 +252,15 @@ def _extract_windows(src: jax.Array, begin: jax.Array, cap: int) -> jax.Array:
 def _extract_flat_windows(src: jax.Array, begin: jax.Array,
                           cap: int) -> jax.Array:
     """(B, cap) contiguous windows src[begin[b] : begin[b]+cap] from a 1-D
-    source (sliced gather; see _extract_windows).  Starts are clamped to
-    keep the slice in bounds; the source is padded up when shorter than
-    cap (tiny test genomes)."""
+    source (sliced gather; see _extract_windows).  The source is zero-padded
+    by cap so a window whose END overruns the source reads zeros WITHOUT
+    shifting its start (a start clamped to n-cap would fill the window's
+    valid lanes with bytes from before `begin`, silently corrupting scores
+    on reads whose region ends near the padded reference edge)."""
     n = src.shape[0]
-    if n < cap:
-        src = jnp.pad(src, (0, cap - n))
-        n = cap
+    src_p = jnp.pad(src, (0, cap))
     return jax.lax.gather(
-        src, jnp.clip(begin, 0, n - cap)[:, None],
+        src_p, jnp.clip(begin, 0, n)[:, None],
         jax.lax.GatherDimensionNumbers(
             offset_dims=(1,), collapsed_slice_dims=(),
             start_index_map=(0,)),

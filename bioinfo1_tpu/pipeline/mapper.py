@@ -602,9 +602,12 @@ class Mapper:
         queues: dict = {}               # cap -> [(idx, name, seq), ...]
         results: dict = {}              # idx -> [lines]
         emitted = start_at
+        n_queued = 0
 
         def flush(cap):
+            nonlocal n_queued
             entries = queues.pop(cap)
+            n_queued -= len(entries)
             chunk = [(name, seq) for _, name, seq in entries]
             mappings = self.map_batch([seq for _, seq in chunk])
             for (idx, _, _), lines in zip(
@@ -621,16 +624,30 @@ class Mapper:
             return lines
 
         last_yield = start_at
+        # Pressure valve (ADVICE r02): a bucket that never reaches
+        # flush_size would otherwise pin `emitted` forever, buffering every
+        # later record's lines in `results` and freezing checkpoint
+        # progress.  When the in-flight total (queued + completed-but-
+        # unemitted) crosses the bound, flush the bucket holding the OLDEST
+        # queued record - after a drain that record is exactly `emitted`, so
+        # each valve flush provably advances the checkpoint.
+        pressure = 4 * flush_size
         for idx in range(start_at, len(records)):
             name, seq = records[idx]
             cap = _pow2_at_least(max(len(seq), floor), 16)
             queues.setdefault(cap, []).append((idx, name, seq))
+            n_queued += 1
+            lines: List[str] = []
             if len(queues[cap]) >= flush_size:
                 flush(cap)
-                lines = drain()
-                if lines or emitted > last_yield:
-                    last_yield = emitted
-                    yield emitted, lines
+                lines.extend(drain())
+            while queues and n_queued + len(results) > pressure:
+                oldest = min(queues, key=lambda c: queues[c][0][0])
+                flush(oldest)
+                lines.extend(drain())
+            if lines or emitted > last_yield:
+                last_yield = emitted
+                yield emitted, lines
         while queues:
             flush(next(iter(queues)))
         lines = drain()

@@ -173,6 +173,67 @@ def test_map_step_cigar_certificate_fallback(problem):
     assert fused_lines == host_lines
 
 
+def test_pressure_valve_advances_checkpoint(problem):
+    """A lone record in a bucket that never fills must not pin the
+    checkpoint: the pressure valve flushes the stale bucket so `emitted`
+    advances before end-of-input (ADVICE r02), and output is unchanged."""
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+    genome, index, didx, reads, arr, lens = problem
+    rng = random.Random(7)
+    lone = genome[5000:5080]                      # its own length bucket
+    records = [("lone", lone)]
+    for i in range(48):
+        start = rng.randrange(0, len(genome) - 500)
+        records.append((f"r{i}", genome[start:start + 500]))
+    cfg = MapperConfig(k=K, w=W, f=F, batch_size=8)
+    m = Mapper([("ref", genome)], cfg)
+    progress = []
+    lines = []
+    for p, ls in m.map_records_iter(records):
+        progress.append(p)
+        lines.extend(ls)
+    # Some yield strictly before the final drain must already be past the
+    # lone record (the old code could only reach it at end-of-input).
+    assert any(p > 0 for p in progress[:-1]), progress
+    assert lines == m.map_records(records)
+
+
+def test_extract_flat_windows_edge():
+    """A window whose END overruns the source must read zeros past the end
+    WITHOUT shifting its start (ADVICE r02: the old n-cap start clamp filled
+    valid lanes with bytes from before `begin` for reads whose region ends
+    within `cap` of the padded reference edge)."""
+    src = jnp.arange(1, 129, dtype=jnp.uint8)          # n = 128
+    got = np.asarray(dm._extract_flat_windows(src, jnp.array([120, 0, 128]),
+                                              16))
+    np.testing.assert_array_equal(
+        got[0], np.concatenate([np.arange(121, 129), np.zeros(8)]))
+    np.testing.assert_array_equal(got[1], np.arange(1, 17))
+    np.testing.assert_array_equal(got[2], np.zeros(16))   # fully past the end
+    # Source shorter than cap (tiny test genomes): all-padding, no wrap.
+    tiny = np.asarray(dm._extract_flat_windows(
+        jnp.arange(1, 9, dtype=jnp.uint8), jnp.array([0, 4]), 16))
+    np.testing.assert_array_equal(
+        tiny[0], np.concatenate([np.arange(1, 9), np.zeros(8)]))
+    np.testing.assert_array_equal(
+        tiny[1], np.concatenate([np.arange(5, 9), np.zeros(12)]))
+
+
+def test_direct_index_override_guard(problem, monkeypatch):
+    """BIOINFO1_DIRECT_INDEX=1 with 2k > 30 hash bits must raise, not
+    attempt a 2^(2k)-entry directory (ADVICE r02)."""
+    genome, index, didx, reads, arr, lens = problem
+    monkeypatch.setenv("BIOINFO1_DIRECT_INDEX", "1")
+    big_k = dataclasses_replace_k(index, 16)
+    with pytest.raises(ValueError, match="DIRECT_INDEX"):
+        dm.device_index_from_host(big_k)
+
+
+def dataclasses_replace_k(index, k):
+    import dataclasses as _dc
+    return _dc.replace(index, k=k)
+
+
 def test_direct_index_mode_matches(problem, monkeypatch):
     """Direct-address directory (steps=0) vs the bucketed binary search:
     identical mapping output on the same index."""
