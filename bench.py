@@ -197,11 +197,17 @@ def measure_product(genome):
 
 
 def measure_baseline(genome, reads):
-    """Single-core reference binary reads/s on a subset (cached)."""
+    """Reference binary reads/s, single-core AND all-cores OpenMP (its
+    shipped configuration, team_mapper.cpp:596) - both denominators cached.
+    Returns a dict {"reads_per_s": st, "reads_per_s_omp": omp}."""
     cache = os.path.join(REPO, "build", "bench_baseline.json")
     if os.path.exists(cache):
         with open(cache) as fh:
-            return json.load(fh)["reads_per_s"]
+            d = json.load(fh)
+        if "reads_per_s_omp" in d:
+            return d
+    else:
+        d = None
     oracle = os.path.join(REPO, "build", "reference_mapper")
     if not os.path.exists(oracle):
         r = subprocess.run([os.path.join(REPO, "tools",
@@ -217,9 +223,9 @@ def measure_baseline(genome, reads):
             fh.write(">ref\n")
             fh.write(genome.tobytes().decode("latin1"))
             fh.write("\n")
-        env = dict(os.environ, OMP_NUM_THREADS="1")
 
-        def run_n(n):
+        def run_n(n, threads):
+            env = dict(os.environ, OMP_NUM_THREADS=str(threads))
             reads_path = os.path.join(td, f"reads{n}.fasta")
             with open(reads_path, "w") as fh:
                 for i in range(n):
@@ -236,14 +242,48 @@ def measure_baseline(genome, reads):
         # per-read mapping rate (the fairer comparison - our timed loop also
         # excludes index build).  Min-of-2 runs tames the index-build noise,
         # which is of the same order as the marginal cost itself.
-        t_one = min(run_n(1), run_n(1))
-        t_sub = min(run_n(sub), run_n(sub))
-    rps = (sub - 1) / max(t_sub - t_one, 1e-6)
+        ncpu = os.cpu_count() or 1
+        if d is None:
+            t_one = min(run_n(1, 1), run_n(1, 1))
+            t_sub = min(run_n(sub, 1), run_n(sub, 1))
+            d = {"reads_per_s": (sub - 1) / max(t_sub - t_one, 1e-6),
+                 "n_reads": sub, "wall_s": t_sub, "fixed_s": t_one}
+        t_one_o = min(run_n(1, ncpu), run_n(1, ncpu))
+        t_sub_o = min(run_n(sub, ncpu), run_n(sub, ncpu))
+        d["reads_per_s_omp"] = (sub - 1) / max(t_sub_o - t_one_o, 1e-6)
+        d["omp_threads"] = ncpu
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     with open(cache, "w") as fh:
-        json.dump({"reads_per_s": rps, "n_reads": sub,
-                   "wall_s": t_sub, "fixed_s": t_one}, fh)
-    return rps
+        json.dump(d, fh)
+    return d
+
+
+def measure_indel(genome):
+    """ONT-realistic workload (VERDICT r02 item 1): ~12% total error with
+    indels (utils/simulate.py), mixed 2/4/8 kb lengths, through the PRODUCT
+    pipeline.  Returns (reads/s, counters dict) - the counters carry the
+    banded-certificate hit rate and retry-ladder counts."""
+    import numpy as np
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+    from bioinfo1_tpu.utils import simulate as sim
+
+    rng = np.random.default_rng(SEED + 2)
+    genome_str = genome.tobytes().decode("latin1")
+    lengths = [2000, 4000, 8000] * 43               # 129 reads, 3 buckets
+    records = sim.simulate_reads(genome, lengths, rng)
+
+    mapper = Mapper([("ref", genome_str)], MapperConfig())
+    mapper.map_records(records)                      # warm/compile + adapt
+    import dataclasses
+    mapper.counters = dataclasses.replace(
+        mapper.counters, reads=0, mapped=0, dp_cells=0.0, batches=0,
+        cert_total=0, cert_hits=0, budget_retries=0, host_fallbacks=0,
+        band_retries=0)
+    t0 = time.time()
+    lines = mapper.map_records(records)
+    dt = time.time() - t0
+    assert len(lines) >= len(records) * 9 // 10, "too few indel reads mapped"
+    return len(records) / dt, mapper.counters.as_dict()
 
 
 def run_measurement():
@@ -256,7 +296,14 @@ def run_measurement():
     except Exception as e:  # product bench must not sink the headline
         mixed_rps = mixed_bps = cigar_rps = None
         print(f"product bench failed: {e}", file=sys.stderr)
-    base = measure_baseline(genome, reads)
+    try:
+        indel_rps, indel_counters = measure_indel(genome)
+    except Exception as e:
+        indel_rps, indel_counters = None, {"error": str(e)}
+        print(f"indel bench failed: {e}", file=sys.stderr)
+    bl = measure_baseline(genome, reads)
+    base = bl["reads_per_s"] if bl else None
+    base_omp = bl.get("reads_per_s_omp") if bl else None
     vs = (ours / base) if base else None
     scaling = None
     scaling_path = os.path.join(REPO, "SCALING.json")
@@ -279,9 +326,17 @@ def run_measurement():
                       round(mixed_bps) if mixed_bps else None,
                   "cigar_reads_per_s":
                       round(cigar_rps, 2) if cigar_rps else None,
+                  "indel_reads_per_s":
+                      round(indel_rps, 2) if indel_rps else None,
+                  "indel_vs_baseline":
+                      round(indel_rps / base, 2) if (indel_rps and base)
+                      else None,
+                  "indel_counters": indel_counters,
                   "scaling_efficiency_2host": scaling,
                   "platform": jax.default_backend(),
-                  "baseline_reads_per_s": round(base, 3) if base else None},
+                  "baseline_reads_per_s": round(base, 3) if base else None,
+                  "baseline_omp_reads_per_s":
+                      round(base_omp, 3) if base_omp else None},
     }), flush=True)
 
 

@@ -58,6 +58,11 @@ HELP_TEXT = (
 )
 
 
+def _json_dumps(d: dict) -> str:
+    import json
+    return json.dumps(d)
+
+
 def _atof(s: str) -> float:
     """std::atof semantics: parse the longest leading float, 0.0 on failure
     (the reference parses -f with atof at team_mapper.cpp:374)."""
@@ -275,6 +280,9 @@ def main(argv: Optional[List[str]] = None,
                                              per_read_stats=per_read_stats)
             merged = ps.gather_lines_to_process0(local_lines)
         if merged is None:
+            if profile:
+                print(timers.report(), file=err)
+                print(_json_dumps(mapper.counters.as_dict()), file=err)
             return 0                      # non-writer process
         sink = open(out_path, "w") if out_path else out
         try:
@@ -285,6 +293,7 @@ def main(argv: Optional[List[str]] = None,
                 sink.close()
         if profile:
             print(timers.report(), file=err)
+            print(_json_dumps(mapper.counters.as_dict()), file=err)
         return 0
 
     counters.start()
@@ -295,11 +304,13 @@ def main(argv: Optional[List[str]] = None,
         for line in lines:
             print(line, file=out)
         counters.observe(len(reads.records),
-                         sum(len(s) for _, s in reads.records), 0.0,
+                         sum(len(s) for _, s in reads.records),
+                         mapper.counters.dp_cells,
                          sum(1 for l in lines if "\t" in l))
         if profile:
             print(timers.report(), file=err)
             print(counters.json_line(), file=err)
+            print(_json_dumps(mapper.counters.as_dict()), file=err)
         return 0
 
     # Checkpointed file output: FILE.progress records the number of fully
@@ -336,6 +347,7 @@ def main(argv: Optional[List[str]] = None,
             _json.dump({"completed_reads": done, "total_reads": done}, fh)
         if profile:
             print(timers.report(), file=err)
+            print(_json_dumps(mapper.counters.as_dict()), file=err)
         return 0
 
     with open(out_path, file_mode) as paf_out:
@@ -348,6 +360,9 @@ def main(argv: Optional[List[str]] = None,
             with open(progress_path, "w") as fh:
                 _json.dump({"completed_reads": done,
                             "total_reads": len(reads.records)}, fh)
+    if profile:
+        print(timers.report(), file=err)
+        print(_json_dumps(mapper.counters.as_dict()), file=err)
     return 0
 
 

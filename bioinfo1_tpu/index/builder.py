@@ -313,7 +313,15 @@ def build_index(reference: str, k: int, w: int, f: float,
 
 def save_index(index: IndexArrays, path: str) -> None:
     """Persist the packed index (checkpoint/resume subsystem; the reference
-    rebuilds from FASTA every run - SURVEY.md section 5)."""
+    rebuilds from FASTA every run - SURVEY.md section 5).
+
+    Contract: the strand SEQUENCES (ref_fwd_seq/ref_rev_seq) are NOT
+    persisted - only the packed minimizer arrays and statistics.  A loader
+    must re-derive them from the reference FASTA (which the CLI always has
+    in hand: pipeline/mapper.Mapper.__init__ re-attaches both strands after
+    load_index).  This keeps index artifacts small (arrays compress well;
+    genomes are re-read in milliseconds) and guarantees the sequences can
+    never drift from the FASTA they came from."""
     def top_arr(top):
         # (-1, -1) encodes "no surviving minimizer" (top_surviving=None).
         return np.array(top if top is not None else (-1, -1), dtype=np.int64)

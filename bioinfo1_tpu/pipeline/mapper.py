@@ -22,6 +22,7 @@ reference's nondeterministic ``omp critical`` interleaving).
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -62,6 +63,30 @@ class MapperConfig:
     # device parallelism: 0 = all local devices (largest pow-2 prefix),
     # 1 = force single-device, N = cap the mesh at N devices
     devices: int = 0
+
+
+@dataclasses.dataclass
+class MapperCounters:
+    """Pipeline observability (VERDICT r02 item 5): DP problem-size cells
+    (for GCUPS), banded-certificate hit rate, and retry-ladder counts.
+    The reference has no counters at all (SURVEY.md section 5)."""
+
+    reads: int = 0
+    mapped: int = 0
+    dp_cells: float = 0.0          # sum of region (n+1)*(m+1) for mapped reads
+    batches: int = 0
+    cert_total: int = 0            # mapped reads through a certified path
+    cert_hits: int = 0
+    budget_retries: int = 0        # match-budget overflow reruns
+    host_fallbacks: int = 0        # certificate misses re-routed to host
+    band_retries: int = 0          # fused reruns at a doubled band
+    faults: int = 0                # batches that raised and were isolated
+
+    def as_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        if self.cert_total:
+            d["cert_hit_rate"] = round(self.cert_hits / self.cert_total, 4)
+        return d
 
 
 @dataclasses.dataclass
@@ -327,6 +352,8 @@ class Mapper:
                 exact_ties=cfg.exact_ties,
                 oob_end_windows=cfg.oob_end_windows)
         self.ref_len = len(reference)
+        self.counters = MapperCounters()
+        self._band_by_key: dict = {}     # (cap, for_cigar) -> band
         self._device_index = None
         self._mesh = None
         self._mesh_resolved = False
@@ -389,13 +416,76 @@ class Mapper:
             self._sharded_steps[key] = fn
         return self._sharded_steps[key]
 
+    def _bucket_band(self, cap: int, for_cigar: bool) -> int:
+        """Current band for a length bucket (adaptive; see _adapt_band)."""
+        key = (cap, for_cigar)
+        b = self._band_by_key.get(key)
+        if b is None:
+            b = 256 if (for_cigar or cap > 512) else 0
+            self._band_by_key[key] = b
+        return b
+
+    def _max_fused_band(self, cap: int, batch: int) -> int:
+        """Band ceiling for the fused -c ladder: the int8 parent tensor is
+        ~3*cap*batch*W bytes of HBM; keep it under ~4 GB and never wider
+        than the whole-matrix certainty threshold (W >= region_cap + 2)."""
+        mem_cap = int(4e9 // max(3 * cap * batch, 1))
+        return min(_pow2_at_least(2 * cap, 128) + 128,
+                   max(256, (mem_cap // 128) * 128))
+
+    def _adapt_band_score(self, cap: int, out, n_real: int) -> None:
+        """Retune the score-path band from the observed scores.  A cert miss
+        there costs no correctness (map_step falls back to the full kernel
+        in-jit for the whole batch) but wastes the banded pass; on
+        indel-rich workloads (MAP006-like) the fixed r02 band of 256 missed
+        nearly always.  The fallback's scores are EXACT, so the minimal
+        certifying band solves directly from ops/pallas_band.certify's
+        bound: 2*(W-1) >= (maxsub*min(n,m) - score)/(-gap) + |m-n| - one
+        observation converges the bucket (no doubling ladder needed here)."""
+        band = self._band_by_key.get((cap, False), 0)
+        cfg = self.cfg
+        if not band or cfg.align_type != "global":
+            return          # map_step only bands global mode
+        if cfg.gap >= 0:
+            self._band_by_key[(cap, False)] = 0   # certificate needs gap < 0
+            return
+        W = -(-band // 128) * 128
+        ql = np.minimum(out.q_end - out.q_begin + 1, cap)[:n_real]
+        tl = np.minimum(out.t_end - out.t_begin + 1,
+                        _pow2_at_least(2 * cap, 128))[:n_real]
+        diff = tl - ql
+        score = out.score[:n_real]
+        mapped = out.mapped[:n_real]
+        n_mapped = int(mapped.sum())
+        if not n_mapped:
+            return
+        maxsub = max(cfg.match, cfg.mismatch, 0)
+        bound = (maxsub * np.minimum(ql, tl)
+                 + cfg.gap * (2 * (W - 1) - np.abs(diff)))
+        whole = (ql <= W) & (tl <= W - 2)
+        cert = ((diff >= -W) & (diff <= W - 2) & (whole | (score >= bound)))
+        self.counters.cert_total += n_mapped
+        self.counters.cert_hits += int((mapped & cert).sum())
+        if not bool((mapped & ~cert).any()):
+            return
+        # One uncertified read forces the whole batch through the in-jit
+        # full pass, so size the band for the WORST mapped read.
+        need2 = np.where(
+            mapped,
+            -(-(maxsub * np.minimum(ql, tl) - score) // (-cfg.gap))
+            + np.abs(diff), 0)
+        w_need = int(need2.max()) // 2 + 2
+        new = -(-max(w_need, band) // 128) * 128
+        # Banding only wins while W < cap (the full kernel runs cap lanes).
+        self._band_by_key[(cap, False)] = new if new <= cap // 2 else 0
+
     def _map_bucket_fused(
             self, seqs: Sequence[str], budget: int
     ) -> Tuple[List[ReadMapping], List[int], List[int]]:
         """Fused device bucket.  Returns (results, budget_retry, host_retry):
         budget_retry reads overflowed (retry fused, doubled budget);
-        host_retry reads failed the banded-traceback certificate (re-route
-        through the full-matrix host path)."""
+        host_retry reads failed the banded-traceback certificate even at the
+        ladder's widest band (re-route through the full-matrix host path)."""
         import jax.numpy as jnp
         from bioinfo1_tpu.pipeline import device_map as dm
         from bioinfo1_tpu.ops.align import MODE_BY_NAME
@@ -403,45 +493,56 @@ class Mapper:
         mesh = self._get_mesh()
         arr, lens = _pack_reads(seqs, cfg.k + cfg.w - 1,
                                 min_batch=mesh.size if mesh else 8)
-        region_cap = _pow2_at_least(2 * arr.shape[1], 128)
+        cap = arr.shape[1]
+        region_cap = _pow2_at_least(2 * cap, 128)
         use_pallas = jax.default_backend() == "tpu"
         mode = MODE_BY_NAME[cfg.align_type]
         scoring = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
                    jnp.int32(cfg.gap))
+
+        def run(band):
+            if cfg.output_cigar:
+                key = ("cigar", mode, budget, region_cap, use_pallas, band,
+                       cfg.oob_end_windows)
+            else:
+                key = (mode, budget, region_cap, use_pallas, band,
+                       cfg.oob_end_windows)
+            if mesh is not None:
+                step = self._get_sharded_step(mesh, key)
+                return jax.device_get(step(
+                    arr, lens, self._get_replicated_index(mesh), *scoring))
+            fn = dm.map_step_cigar if cfg.output_cigar else dm.map_step
+            return jax.device_get(fn(
+                jnp.asarray(arr), jnp.asarray(lens),
+                self._get_device_index(), *scoring,
+                k=cfg.k, w=cfg.w, mode=mode,
+                budget=budget, region_cap=region_cap,
+                use_pallas=use_pallas,
+                oob_end_windows=cfg.oob_end_windows, band=band))
+
         cig = None
         if cfg.output_cigar:
-            band = 256
-            key = ("cigar", mode, budget, region_cap, use_pallas, band,
-                   cfg.oob_end_windows)
-            if mesh is not None:
-                step = self._get_sharded_step(mesh, key)
-                cig = jax.device_get(step(
-                    arr, lens, self._get_replicated_index(mesh), *scoring))
-            else:
-                cig = jax.device_get(dm.map_step_cigar(
-                    jnp.asarray(arr), jnp.asarray(lens),
-                    self._get_device_index(), *scoring,
-                    k=cfg.k, w=cfg.w, mode=mode,
-                    budget=budget, region_cap=region_cap,
-                    use_pallas=use_pallas,
-                    oob_end_windows=cfg.oob_end_windows, band=band))
-            out = cig.base
+            # Band ladder (VERDICT r02 items 1-2): certificate misses rerun
+            # the fused step at a doubled band instead of falling back to the
+            # full-matrix host path - on ONT-like indel reads the optimal
+            # path drifts off-diagonal and a fixed band of 256 misses often.
+            band = self._bucket_band(cap, True)
+            max_band = self._max_fused_band(cap, arr.shape[0])
+            while True:
+                cig = run(band)
+                out = cig.base
+                n_real = len(seqs)
+                miss = out.mapped[:n_real] & ~cig.certified[:n_real]
+                if miss.any() and band * 2 <= max_band:
+                    band = band * 2
+                    self._band_by_key[(cap, True)] = band
+                    self.counters.band_retries += int(miss.sum())
+                    continue
+                break
         else:
-            band = 256 if arr.shape[1] > 512 else 0
-            key = (mode, budget, region_cap, use_pallas, band,
-                   cfg.oob_end_windows)
-            if mesh is not None:
-                step = self._get_sharded_step(mesh, key)
-                out = jax.device_get(step(
-                    arr, lens, self._get_replicated_index(mesh), *scoring))
-            else:
-                out = jax.device_get(dm.map_step(
-                    jnp.asarray(arr), jnp.asarray(lens),
-                    self._get_device_index(), *scoring,
-                    k=cfg.k, w=cfg.w, mode=mode,
-                    budget=budget, region_cap=region_cap,
-                    use_pallas=use_pallas,
-                    oob_end_windows=cfg.oob_end_windows, band=band))
+            band = self._bucket_band(cap, False)
+            out = run(band)
+            self._adapt_band_score(cap, out, len(seqs))
         results: List[ReadMapping] = []
         retry: List[int] = []
         host_retry: List[int] = []
@@ -449,6 +550,11 @@ class Mapper:
         if cig is not None:
             from bioinfo1_tpu.ops.trace import unpack_codes_np
             codes = unpack_codes_np(cig.codes)
+            nm = out.mapped[:len(seqs)]
+            self.counters.cert_total += int(nm.sum())
+            self.counters.cert_hits += int(
+                (nm & cig.certified[:len(seqs)]).sum())
+        self.counters.batches += 1
         for i in range(len(seqs)):
             if out.overflow[i]:
                 results.append(ReadMapping(mapped=False))
@@ -519,14 +625,37 @@ class Mapper:
                     cap = _pow2_at_least(max(max_len, cfg.k + cfg.w - 1), 16)
                     b_budget = _pow2_at_least(max(budget, cap // 2), 8)
                     b_budget *= 1 << (attempts - 1)
-                    if on_device:
-                        res, retry, host_retry = self._map_bucket_fused(
-                            sub, b_budget)
-                    else:
-                        res, retry = _map_bucket(sub, self.index, cfg,
-                                                 b_budget)
-                        host_retry = []
+                    # Per-batch fault isolation (VERDICT r02 item 8; the
+                    # reference's analog catches a per-read Align throw,
+                    # logs, and continues - team_mapper.cpp:663-683).  An
+                    # unexpected failure in the fused device path re-routes
+                    # the batch through the host pipeline; a host-path
+                    # failure skips those reads with the reference's stderr
+                    # line instead of aborting the whole run.
+                    try:
+                        if on_device:
+                            res, retry, host_retry = self._map_bucket_fused(
+                                sub, b_budget)
+                        else:
+                            res, retry = _map_bucket(sub, self.index, cfg,
+                                                     b_budget)
+                            host_retry = []
+                    except Exception as e:
+                        self.counters.faults += 1
+                        print(f"ERROR: Exception during Align: {e}",
+                              file=sys.stderr)
+                        if on_device:
+                            force_host.update(sub_idxs)
+                            next_pending.extend(sub_idxs)
+                        else:
+                            for i in sub_idxs:
+                                results[i] = ReadMapping(mapped=False)
+                        continue
+                    if not on_device:
+                        self.counters.batches += 1
                     retry_s, host_s = set(retry), set(host_retry)
+                    self.counters.budget_retries += len(retry_s)
+                    self.counters.host_fallbacks += len(host_s)
                     for loc, i in enumerate(sub_idxs):
                         if loc in retry_s:
                             next_pending.append(i)
@@ -540,6 +669,13 @@ class Mapper:
                 for i in pending:
                     results[i] = ReadMapping(mapped=False)
                 break
+        c = self.counters
+        c.reads += len(seqs)
+        for r in results:
+            if r is not None and r.mapped:
+                c.mapped += 1
+                c.dp_cells += float((r.q_end - r.q_begin + 1)
+                                    * (r.t_end - r.t_begin + 1))
         return results
 
     def _format_chunk(self, chunk: Sequence[Tuple[str, str]],

@@ -448,6 +448,22 @@ def align(query: str, target: str, typ: str, match: int, mismatch: int,
     ``local_target_begin_end=True`` replicates reference bug #3 where local
     ``target_begin`` is the 1-based end column; the fixed default reports the
     0-based start column of the local alignment on the target.
+
+    Stale-``j`` adjudication (SURVEY.md 2.3 #11; VERDICT r02 item 7): the
+    reference's semiGlobal traceback tests ``j > 0`` instead of
+    ``global_j > 0`` in its INSERT branch (team_alignment.cpp:292).  This is
+    PROVABLY UNOBSERVABLE, so no bug-compat switch exists for it:
+    (a) at traceback time the stale fill-loop counter always holds
+    ``j == target_len + 1 >= 1``, so the condition is constant-true and the
+    branch reduces to the parent test alone;
+    (b) the only cells where the intended ``global_j > 0`` guard would
+    differ are column-0 cells (global_j == 0) with global_i > 0 - and every
+    such cell has ``parent == DELETE`` from initialization
+    (team_alignment.cpp:83-86), never overwritten by the fill loop (which
+    only writes j >= 1), so the ``parent == INSERT`` test fails there and
+    the DELETE branch fires exactly as it would with the fixed guard.
+    Hence our fixed ``j > 0`` guard below is byte-equivalent to the
+    reference for every input.
     """
     if typ not in ALIGNMENT_TYPES:
         raise ValueError("Unknown AlignmentType provided.")

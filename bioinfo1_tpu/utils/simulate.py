@@ -1,0 +1,85 @@
+"""ONT-like synthetic read simulator (substitutions + indels).
+
+The reference's whole validation story is MAP006 ONT 2D reads against
+E. coli K-12 (/root/reference/README.md:42, .gitignore:4-6, report section
+5).  That dataset is not shipped, but its error PROFILE is what stresses a
+banded aligner: ONT 2D reads carry ~10-15% total error split between
+mismatches, insertions and deletions, and the indels drift the optimal
+alignment path off the main diagonal - exactly what the banded wavefront's
+exactness certificate (ops/pallas_band.py) is sensitive to.  Substitution-
+only synthetic reads (rounds 1-2) never exercise that.
+
+Profile defaults approximate published MAP006 2D error rates: ~5%
+mismatches, ~3% insertions, ~4% deletions, indel lengths geometric with
+mean ~1.5 (homopolymer-biased deletions are not modeled; the band stress
+comes from the NET offset drift, which the geometric model reproduces).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+BASES = np.frombuffer(b"CATG", dtype=np.uint8)
+
+
+def mutate_read(frag: np.ndarray, rng: np.random.Generator,
+                sub_rate: float = 0.05, ins_rate: float = 0.03,
+                del_rate: float = 0.04,
+                indel_geom_p: float = 0.6) -> np.ndarray:
+    """Apply an ONT-like error profile to a uint8 base fragment.
+
+    Per input base: substitute with ``sub_rate`` (uniform random base, so a
+    quarter are silent - like the reference parity generators), start an
+    insertion with ``ins_rate`` / a deletion with ``del_rate``, each of
+    geometric length (mean 1/p).  Returns a new uint8 array.
+    """
+    n = len(frag)
+    r = rng.random(n)
+    out: List[np.ndarray] = []
+    i = 0
+    # Event positions are sparse; iterate events, bulk-copy between them.
+    events = np.flatnonzero(r < sub_rate + ins_rate + del_rate)
+    for e in events:
+        if e < i:
+            continue                       # swallowed by a deletion
+        out.append(frag[i:e])
+        x = r[e]
+        if x < sub_rate:
+            out.append(BASES[rng.integers(0, 4, 1)])
+            i = e + 1
+        elif x < sub_rate + ins_rate:
+            ln = rng.geometric(indel_geom_p)
+            out.append(frag[e:e + 1])
+            out.append(BASES[rng.integers(0, 4, ln)])
+            i = e + 1
+        else:
+            ln = int(rng.geometric(indel_geom_p))
+            i = e + ln                     # drop ln bases
+    out.append(frag[i:])
+    return np.concatenate(out) if out else frag[:0]
+
+
+def simulate_reads(genome: np.ndarray, lengths, rng: np.random.Generator,
+                   sub_rate: float = 0.05, ins_rate: float = 0.03,
+                   del_rate: float = 0.04, rc_prob: float = 0.5,
+                   ) -> List[Tuple[str, str]]:
+    """(name, seq) records sampled from ``genome`` (uint8 bytes) with the
+    ONT error profile; about half reverse-complemented."""
+    comp = np.arange(256, dtype=np.uint8)
+    for a, b in zip(b"ATGC", b"TACG"):
+        comp[a] = b
+    recs = []
+    for i, ln in enumerate(lengths):
+        start = int(rng.integers(0, max(1, len(genome) - ln)))
+        frag = mutate_read(genome[start:start + ln], rng,
+                           sub_rate, ins_rate, del_rate)
+        if rng.random() < rc_prob:
+            frag = comp[frag[::-1]]
+        recs.append((f"ont{i}", frag.tobytes().decode("latin1")))
+    return recs
+
+
+def random_genome(n: int, rng: np.random.Generator) -> np.ndarray:
+    return BASES[rng.integers(0, 4, n)]

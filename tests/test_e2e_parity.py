@@ -66,6 +66,50 @@ def _random_case(tmp_path, seed, n_reads=24, genome_len=20000,
     return ref_path, reads_path
 
 
+def _indel_case(tmp_path, seed, n_reads=20, genome_len=20000, fastq=False):
+    """ONT-realistic reads: ~5% substitutions + ~3% insertions + ~4%
+    deletions (utils/simulate.py) - the MAP006-like error profile whose
+    indels drift alignments off the main diagonal (VERDICT r02 item 1)."""
+    import numpy as np
+    from bioinfo1_tpu.utils import simulate as sim
+    rng = np.random.default_rng(seed)
+    genome = sim.random_genome(genome_len, rng)
+    ref_path = str(tmp_path / "ref.fasta")
+    _write_fasta(ref_path, [("refseq", genome.tobytes().decode("latin1"))])
+    lengths = [int(rng.integers(150, 1500)) for _ in range(n_reads)]
+    reads = sim.simulate_reads(genome, lengths, rng)
+    reads_path = str(tmp_path / ("reads.fastq" if fastq else "reads.fasta"))
+    if fastq:
+        _write_fastq(reads_path, reads)
+    else:
+        _write_fasta(reads_path, reads)
+    return ref_path, reads_path
+
+
+@pytest.mark.parametrize("mode,seed", [("global", 311), ("global", 313),
+                                       ("local", 317), ("semiGlobal", 331)])
+def test_indel_fasta_parity(tmp_path, oracle_bin, mode, seed):
+    ref_path, reads_path = _indel_case(tmp_path, seed=seed)
+    _compare(oracle_bin, ["-a", mode, "-c"], ref_path, reads_path)
+
+
+def test_indel_heavy_parity(tmp_path, oracle_bin):
+    """15% total error (worse than typical MAP006): certificate misses and
+    retry ladders must still land on byte-identical output."""
+    import numpy as np
+    from bioinfo1_tpu.utils import simulate as sim
+    rng = np.random.default_rng(337)
+    genome = sim.random_genome(24000, rng)
+    ref_path = str(tmp_path / "ref.fasta")
+    _write_fasta(ref_path, [("refseq", genome.tobytes().decode("latin1"))])
+    lengths = [int(rng.integers(400, 3000)) for _ in range(16)]
+    reads = sim.simulate_reads(genome, lengths, rng,
+                               sub_rate=0.06, ins_rate=0.04, del_rate=0.05)
+    reads_path = str(tmp_path / "reads.fasta")
+    _write_fasta(reads_path, reads)
+    _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
+
+
 def _normalize_stat_ties(text: str) -> str:
     """The 'most frequent surviving minimizer' stat reports WHICH hash won a
     frequency tie in unordered_map iteration order - unspecified in C++
