@@ -218,12 +218,13 @@ def align_batch(q_bytes: jax.Array, q_lens: jax.Array,
     return AlignOut(score=out_score, goal_i=gi, goal_j=gj, parents=parents)
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
+@functools.partial(jax.jit, static_argnames=("band", "mode"))
 def align_banded_parents(q_bytes: jax.Array, q_lens: jax.Array,
                          t_bytes: jax.Array, t_lens: jax.Array,
                          match: jax.Array, mismatch: jax.Array,
-                         gap: jax.Array, band: int = 256) -> AlignOut:
-    """Banded GLOBAL alignment with 2-bit parents in band coordinates.
+                         gap: jax.Array, band: int = 256,
+                         mode: int = MODE_GLOBAL) -> AlignOut:
+    """Banded alignment (all 3 modes) with 2-bit parents in band coordinates.
 
     Same diagonal-offset formulation as ops/pallas_band.py: lane l of
     anti-diagonal d holds offset o = 2l - W + (d & 1), i.e. cell
@@ -248,7 +249,7 @@ def align_banded_parents(q_bytes: jax.Array, q_lens: jax.Array,
     match = jnp.int32(match)
     mismatch = jnp.int32(mismatch)
     gap = jnp.int32(gap)
-    init = gap
+    init = gap if mode == MODE_GLOBAL else jnp.int32(0)
     NEG = jnp.int32(-(2**30))
     dash = jnp.uint8(ord("-"))
     ql = q_lens.astype(jnp.int32)
@@ -272,9 +273,11 @@ def align_banded_parents(q_bytes: jax.Array, q_lens: jax.Array,
         * jnp.ones((B, 1), jnp.int32)
 
     score0 = jnp.zeros((B,), jnp.int32)
+    neg0 = jnp.full((B,), NEG, jnp.int32)
+    zero0 = jnp.zeros((B,), jnp.int32)
 
     def step(carry, d):
-        h2, h1, qd, td, score = carry
+        h2, h1, qd, td, score, bc, bi, bj, cc, ci, rc, rj = carry
         p = d & 1
         i0 = (d + W) // 2
         j0 = d - i0
@@ -310,19 +313,66 @@ def align_banded_parents(q_bytes: jax.Array, q_lens: jax.Array,
 
         i_lane = i0 - lanes
         j_lane = d - i_lane
+        if mode == MODE_LOCAL:
+            h = jnp.maximum(h, 0)
         h = jnp.where(i_lane == 0, j_lane * init, h)
         h = jnp.where(j_lane == 0, i_lane * init, h)
         h = jnp.where((i_lane < 0) | (j_lane < 0), NEG, h)
 
-        hit = d == (ql + tl)
-        lstar = (tl - ql + W - p) // 2
-        val = jnp.sum(jnp.where(lanes == lstar[:, None], h, 0), axis=1)
-        score = jnp.where(hit, val, score)
+        if mode == MODE_GLOBAL:
+            hit = d == (ql + tl)
+            lstar = (tl - ql + W - p) // 2
+            val = jnp.sum(jnp.where(lanes == lstar[:, None], h, 0), axis=1)
+            score = jnp.where(hit, val, score)
+        elif mode == MODE_LOCAL:
+            # In-band argmax, reference row-major-first tie order (see
+            # ops/pallas_band._kernel): smallest i = largest lane on a diag.
+            valid = ((i_lane >= 1) & (i_lane <= ql[:, None])
+                     & (j_lane >= 1) & (j_lane <= tl[:, None]))
+            cand = jnp.where(valid, h, NEG)
+            c = jnp.max(cand, axis=1)
+            lmax = jnp.max(jnp.where(cand == c[:, None], lanes, -1), axis=1)
+            i_cand = i0 - lmax
+            take = (c > NEG) & ((c > bc) | ((c == bc) & (i_cand < bi)))
+            bc = jnp.where(take, c, bc)
+            bi = jnp.where(take, i_cand, bi)
+            bj = jnp.where(take, d - i_cand, bj)
+        else:
+            i_col = d - tl
+            l_col = i0 - i_col
+            ok_col = ((i_col >= 0) & (i_col <= ql)
+                      & (l_col >= 0) & (l_col < W))
+            v_col = jnp.sum(
+                jnp.where(lanes == l_col[:, None], h, 0), axis=1)
+            take = ok_col & (v_col > cc)
+            cc = jnp.where(take, v_col, cc)
+            ci = jnp.where(take, i_col, ci)
+            j_row = d - ql
+            l_row = i0 - ql
+            ok_row = ((j_row >= 0) & (j_row <= tl)
+                      & (l_row >= 0) & (l_row < W))
+            v_row = jnp.sum(
+                jnp.where(lanes == l_row[:, None], h, 0), axis=1)
+            take = ok_row & (v_row > rc)
+            rc = jnp.where(take, v_row, rc)
+            rj = jnp.where(take, j_row, rj)
 
         packed = _pack_parents(parent, PW)
-        return (h1, h, qd, td, score), packed
+        return (h1, h, qd, td, score, bc, bi, bj, cc, ci, rc, rj), packed
 
     ds = jnp.arange(2, n + m_eff + 1, dtype=jnp.int32)
-    (_, _, _, _, score), parents = jax.lax.scan(
-        step, (h2, h1, qd, td, score0), ds)
-    return AlignOut(score=score, goal_i=ql, goal_j=tl, parents=parents)
+    carry0 = (h2, h1, qd, td, score0, neg0, zero0, zero0,
+              zero0, zero0, zero0, zero0)
+    (_, _, _, _, score, bc, bi, bj, cc, ci, rc, rj), parents = jax.lax.scan(
+        step, carry0, ds)
+    if mode == MODE_GLOBAL:
+        return AlignOut(score=score, goal_i=ql, goal_j=tl, parents=parents)
+    if mode == MODE_LOCAL:
+        hit = bc > NEG
+        return AlignOut(score=jnp.where(hit, bc, 0),
+                        goal_i=jnp.where(hit, bi, 0),
+                        goal_j=jnp.where(hit, bj, 0), parents=parents)
+    row_wins = rc > cc
+    return AlignOut(score=jnp.where(row_wins, rc, cc),
+                    goal_i=jnp.where(row_wins, ql, ci),
+                    goal_j=jnp.where(row_wins, rj, tl), parents=parents)

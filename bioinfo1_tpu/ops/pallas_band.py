@@ -53,14 +53,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
+def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
             q_ref, ql_ref, t_ref, tl_ref, qd0_ref, td0_ref, prm_ref,
-            score_ref, par_ref,
+            score_ref, gi_ref, gj_ref, par_ref,
             h2_s, h1_s, qd_s, td_s, qchunk_s, tchunk_s, pbuf_s, dma_sem):
     match = prm_ref[0, 0]
     mismatch = prm_ref[0, 1]
     gap = prm_ref[0, 2]
-    init = gap
+    # Borders: global i*gap / local+semiGlobal zero (team_alignment.cpp:62-71).
+    init = gap if mode == 0 else jnp.int32(0)
     tile = pl.program_id(0)
 
     ql = ql_ref[...].astype(jnp.int32)                     # (BT, 1)
@@ -83,7 +84,7 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
             axis=1, keepdims=True)
 
     def step(d, carry):
-        score = carry
+        score, bc, bi, bj, cc, ci, rc, rj = carry
         p = jax.lax.rem(d, 2)
         i0 = (d + W) // 2                                  # row at lane 0
         j0 = d - i0                                        # col at lane 0
@@ -149,6 +150,8 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
 
         i_lane = i0 - lanes
         j_lane = d - i_lane
+        if mode == 1:
+            h = jnp.maximum(h, 0)                          # local clamp
         h = jnp.where(i_lane == 0, j_lane * init, h)       # row 0
         h = jnp.where(j_lane == 0, i_lane * init, h)       # col 0
         h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
@@ -168,34 +171,95 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH,
                 cp.start()
                 cp.wait()
 
-        # Goal (ql, tl): captured on its anti-diagonal at its band lane.
-        hit = d == (ql + tl)
-        lstar = (tl - ql + W - p) // 2
-        val = jnp.sum(jnp.where(lanes == lstar, h, 0), axis=1, keepdims=True)
-        score = jnp.where(hit, val, score)
+        if mode == 0:
+            # Goal (ql, tl): captured on its anti-diagonal at its band lane.
+            hit = d == (ql + tl)
+            lstar = (tl - ql + W - p) // 2
+            val = jnp.sum(jnp.where(lanes == lstar, h, 0), axis=1,
+                          keepdims=True)
+            score = jnp.where(hit, val, score)
+        elif mode == 1:
+            # Local argmax over in-region band cells, first strictly-greater
+            # in row-major order (team_alignment.cpp:185-192): on one
+            # anti-diagonal the smallest i sits at the LARGEST lane
+            # (i = i0 - l); across diagonals equal (cost, i) keeps the
+            # earlier d (smaller j).
+            valid = ((i_lane >= 1) & (i_lane <= ql)
+                     & (j_lane >= 1) & (j_lane <= tl))
+            cand = jnp.where(valid, h, _NEG)
+            c = jnp.max(cand, axis=1, keepdims=True)
+            lmax = jnp.max(jnp.where(cand == c, lanes, -1), axis=1,
+                           keepdims=True)
+            i_cand = i0 - lmax
+            take = (c > _NEG) & ((c > bc) | ((c == bc) & (i_cand < bi)))
+            bc = jnp.where(take, c, bc)
+            bi = jnp.where(take, i_cand, bi)
+            bj = jnp.where(take, d - i_cand, bj)
+        else:
+            # semiGlobal rim argmax (team_alignment.cpp:265-278): last
+            # column scanned i-ascending (== d-ascending here), then last
+            # row j-ascending; strictly-greater keeps the earliest.
+            i_col = d - tl
+            l_col = i0 - i_col
+            ok_col = ((i_col >= 0) & (i_col <= ql)
+                      & (l_col >= 0) & (l_col < W))
+            v_col = jnp.sum(jnp.where(lanes == l_col, h, 0), axis=1,
+                            keepdims=True)
+            take = ok_col & (v_col > cc)
+            cc = jnp.where(take, v_col, cc)
+            ci = jnp.where(take, i_col, ci)
+            j_row = d - ql
+            l_row = i0 - ql
+            ok_row = ((j_row >= 0) & (j_row <= tl)
+                      & (l_row >= 0) & (l_row < W))
+            v_row = jnp.sum(jnp.where(lanes == l_row, h, 0), axis=1,
+                            keepdims=True)
+            take = ok_row & (v_row > rc)
+            rc = jnp.where(take, v_row, rc)
+            rj = jnp.where(take, j_row, rj)
 
         h2_s[...] = h1
         h1_s[...] = h
-        return score
+        return score, bc, bi, bj, cc, ci, rc, rj
 
-    score0 = jnp.zeros((BT, 1), jnp.int32)
-    # The goal cell sits on anti-diagonal ql + tl; nothing beyond the tile's
-    # largest one can matter, so the sweep stops there (dynamic bound).
+    zero = jnp.zeros((BT, 1), jnp.int32)
+    neg = jnp.full((BT, 1), _NEG, jnp.int32)
+    carry0 = (zero, neg, zero, zero, zero, zero, zero, zero)
+    # Every goal rule only reads cells with d <= ql + tl, so the sweep stops
+    # at the tile's largest one (dynamic bound).
     d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
-    score = jax.lax.fori_loop(2, d_stop + 1, step, score0)
-    score_ref[...] = score
+    score, bc, bi, bj, cc, ci, rc, rj = jax.lax.fori_loop(
+        2, d_stop + 1, step, carry0)
+    if mode == 0:
+        score_ref[...] = score
+        gi_ref[...] = ql
+        gj_ref[...] = tl
+    elif mode == 1:
+        hit = bc > _NEG
+        score_ref[...] = jnp.where(hit, bc, 0)
+        gi_ref[...] = jnp.where(hit, bi, 0)
+        gj_ref[...] = jnp.where(hit, bj, 0)
+    else:
+        row_wins = rc > cc
+        score_ref[...] = jnp.where(row_wins, rc, cc)
+        gi_ref[...] = jnp.where(row_wins, ql, ci)
+        gj_ref[...] = jnp.where(row_wins, rj, tl)
 
 
 @functools.partial(jax.jit, static_argnames=("band", "block", "interpret",
-                                              "want_parents"))
+                                              "want_parents", "mode"))
 def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
                         t_bytes: jax.Array, t_lens: jax.Array,
                         match: jax.Array, mismatch: jax.Array,
                         gap: jax.Array, band: int = 256, block: int = 0,
                         interpret: bool = False,
-                        want_parents: bool = False) -> AlignOut:
-    """Banded global-mode scores; exact iff `certify(...)` (else a lower
-    bound of the in-band optimum).  Drop-in AlignOut like align_scores.
+                        want_parents: bool = False,
+                        mode: int = 0) -> AlignOut:
+    """Banded scores for all three modes; exact iff `certify(..., mode=)`
+    (else a lower bound of the in-band optimum).  Drop-in AlignOut like
+    align_scores; local/semiGlobal goal cells come from in-band argmax /
+    rim tracking with the reference's scan-order tie rules
+    (team_alignment.cpp:185-192, 265-278).
 
     With ``want_parents``, parents are emitted in band coordinates packed
     16-per-uint32 (same layout as ops.align.align_banded_parents: diag d at
@@ -240,14 +304,14 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     CH = 128                                  # parent-flush chunk (steps)
     steps_pad = _round_up(n_steps, CH)
     kernel = functools.partial(_kernel, W, BT, n_pad, m_eff, n_steps,
-                               want_parents, CH)
+                               want_parents, CH, mode)
     grid = (b_pad // BT,)
     row_spec = pl.BlockSpec((BT, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     band_spec = pl.BlockSpec((BT, W), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    out_specs = [row_spec]
-    out_shape = [jax.ShapeDtypeStruct((b_pad, 1), jnp.int32)]
+    out_specs = [row_spec, row_spec, row_spec]
+    out_shape = [jax.ShapeDtypeStruct((b_pad, 1), jnp.int32)] * 3
     scratch = [
         pltpu.VMEM((BT, W), jnp.int32),
         pltpu.VMEM((BT, W), jnp.int32),
@@ -269,7 +333,7 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
         scratch += [pltpu.VMEM((1, 1, 1), jnp.int8),
                     pltpu.SemaphoreType.DMA]
 
-    score, par8 = pl.pallas_call(
+    score, gi, gj, par8 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -299,9 +363,13 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     else:
         parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
 
-    ql_out = q_lens.astype(jnp.int32)
-    tl_out = jnp.minimum(t_lens.astype(jnp.int32), m_eff)
-    return AlignOut(score=score[:B, 0], goal_i=ql_out, goal_j=tl_out,
+    if mode == 0:
+        gi_out = q_lens.astype(jnp.int32)
+        gj_out = jnp.minimum(t_lens.astype(jnp.int32), m_eff)
+    else:
+        gi_out = gi[:B, 0]
+        gj_out = gj[:B, 0]
+    return AlignOut(score=score[:B, 0], goal_i=gi_out, goal_j=gj_out,
                     parents=parents)
 
 
@@ -309,16 +377,31 @@ def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,
             t_bytes: jax.Array, t_lens: jax.Array,
             match: jax.Array, mismatch: jax.Array, gap: jax.Array,
             band: int, strict: bool = False,
-            lane_multiple: int = 128) -> jax.Array:
-    """(B,) bool: the banded global score provably equals the full DP's.
+            lane_multiple: int = 128, mode: int = 0) -> jax.Array:
+    """(B,) bool: the banded score provably equals the full DP's.
 
     ``strict`` additionally guarantees the TRACEBACK is byte-identical: with
-    score > bound no out-of-band path can even tie, so the canonical M>I>D
-    path of the full DP lies entirely in-band, every cell on it keeps its
-    full-DP value, and band-masked competitors (whose values only shrink)
-    cannot flip any first-set strictly-greater parent choice.  Use it when
-    consuming align_banded_parents; the score-only fused path does not need
-    it (a tying path yields the same score).
+    score strictly beating the bound no out-of-band path can even tie, so
+    the canonical M>I>D path of the full DP lies entirely in-band, every
+    cell on it keeps its full-DP value (the in-band path prefix realizes
+    it), and band-masked competitors (whose values only shrink) cannot flip
+    any first-set strictly-greater parent choice.  Use it when consuming
+    banded parents; the score-only fused path does not need it (a tying
+    path yields the same score).
+
+    Mode-specific bounds (gap <= 0 required; W = rounded band):
+      * global (0): an out-of-band path pays >= 2*(W-1) - |m-n| gaps, so it
+        scores at most maxsub*min(n,m) + gap*(2*(W-1) - |m-n|).
+      * local (1) / semiGlobal (2): paths may start/end anywhere, so the
+        gap argument fails, but any path TOUCHING offset >= W-1 (or
+        <= -(W-1)) fits at most min(n, m-W+1) (resp. min(m, n-W+1))
+        diagonal steps, each worth at most maxsub; free '-' gaps add
+        nothing under gap <= 0.  Bound = maxsub * that count.  For
+        local/semiGlobal the argmax / rim-scan tie order is also preserved:
+        any cell tying the banded best must have an in-band optimal path
+        (an out-of-band one is capped by the bound), hence its banded value
+        is exact, and the kernel replicates the reference's scan order
+        among in-band cells.
 
     ``lane_multiple`` must match the kernel's band rounding: 128 for the
     Pallas kernel, 16 for the lax align_banded_parents.
@@ -327,15 +410,23 @@ def certify(score: jax.Array, q_bytes: jax.Array, q_lens: jax.Array,
     ql = q_lens.astype(jnp.int32)
     tl = t_lens.astype(jnp.int32)
     diff = tl - ql
-    goal_in_band = (diff >= -W) & (diff <= W - 2)
     # Band covers the whole matrix: every offset o in [-n, m] is in
     # [-W, W-2] -> banded IS the full DP (no score test needed).
     whole = (ql <= W) & (tl <= W - 2)
     maxsub = jnp.maximum(jnp.maximum(match, mismatch), 0).astype(jnp.int32)
-    gaps_min = 2 * (W - 1) - jnp.abs(diff)
-    bound = maxsub * jnp.minimum(ql, tl) + gap.astype(jnp.int32) * gaps_min
-    no_dash = ~(jnp.any(q_bytes == _DASH, axis=1)
-                | jnp.any(t_bytes == _DASH, axis=1))
+    if mode == 0:
+        goal_in_band = (diff >= -W) & (diff <= W - 2)
+        gaps_min = 2 * (W - 1) - jnp.abs(diff)
+        bound = (maxsub * jnp.minimum(ql, tl)
+                 + gap.astype(jnp.int32) * gaps_min)
+        no_dash = ~(jnp.any(q_bytes == _DASH, axis=1)
+                    | jnp.any(t_bytes == _DASH, axis=1))
+        beats = (score > bound) if strict else (score >= bound)
+        strong = (gap < 0) & no_dash & beats
+        return goal_in_band & (whole | strong)
+    bound = maxsub * jnp.clip(
+        jnp.maximum(jnp.minimum(ql, tl - (W - 1)),
+                    jnp.minimum(tl, ql - (W - 1))), 0, None)
     beats = (score > bound) if strict else (score >= bound)
-    strong = (gap < 0) & no_dash & beats
-    return goal_in_band & (whole | strong)
+    strong = (gap <= 0) & beats
+    return whole | strong

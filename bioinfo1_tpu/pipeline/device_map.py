@@ -376,13 +376,13 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         return al.align_batch(q_win, q_len, t_win, t_len, mode,
                               match, mismatch, gap, want_parents=False).score
 
-    if band and mode == 0:
+    if band:
         from bioinfo1_tpu.ops import pallas_band as pb
         bout = pb.align_scores_banded(q_win, q_len, t_win, t_len,
                                       match, mismatch, gap, band=band,
-                                      interpret=not use_pallas)
+                                      interpret=not use_pallas, mode=mode)
         certified = pb.certify(bout.score, q_win, q_len, t_win, t_len,
-                               match, mismatch, gap, band)
+                               match, mismatch, gap, band, mode=mode)
         need_full = jnp.any(mapped & ~certified)
         full = jax.lax.cond(need_full, full_scores,
                             lambda: jnp.zeros_like(bout.score))
@@ -431,7 +431,10 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                    oob_end_windows: bool = False,
                    band: int = 256) -> CigarOut:
     """Fused -c step: map_step plus banded-parents alignment and the
-    on-device traceback walk (global mode only - the PAF default).
+    on-device traceback walk, for ALL THREE alignment modes (local /
+    semiGlobal goal cells come from the banded kernel's in-band argmax /
+    rim tracking; their exactness is covered by the mode-aware certificate,
+    ops/pallas_band.certify).
 
     The whole -c pipeline stays on device: region gather in HBM, banded
     parent fill (2-bit packed, ops/pallas_band.py), lockstep batch walk
@@ -440,7 +443,6 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     (replaces the reference's per-read traceback + RLE,
     team_alignment.cpp:122-161).
     """
-    assert mode == 0, "fused CIGAR path is global-mode only"
     if region_cap == 0:
         region_cap = reads.shape[1]
     (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
@@ -453,15 +455,16 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     if use_pallas:
         out = pb.align_scores_banded(q_win, q_len, t_win, t_len,
                                      match, mismatch, gap, band=band,
-                                     want_parents=True)
+                                     want_parents=True, mode=mode)
         lane_mult = 128
     else:
         out = al.align_banded_parents(q_win, q_len, t_win, t_len,
-                                      match, mismatch, gap, band=band)
+                                      match, mismatch, gap, band=band,
+                                      mode=mode)
         lane_mult = 16
     certified = pb.certify(out.score, q_win, q_len, t_win, t_len,
                            match, mismatch, gap, band, strict=True,
-                           lane_multiple=lane_mult)
+                           lane_multiple=lane_mult, mode=mode)
     walk_band = -(-band // lane_mult) * lane_mult
     codes = tr.pack_codes(tr.walk_parents(
         out.parents, out.goal_i, out.goal_j, out.score,

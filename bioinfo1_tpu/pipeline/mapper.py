@@ -234,8 +234,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         # the strict certificate guarantees byte-identical tracebacks;
         # certificate misses re-run through the full kernel below.
         band = 256
-        use_band = (cfg.output_cigar and cfg.align_type == "global"
-                    and qa.shape[1] > 2 * band)
+        mode_i = al.MODE_BY_NAME[cfg.align_type]
+        use_band = cfg.output_cigar and qa.shape[1] > 2 * band
         banded = {}
         lane_mult = 1  # overwritten on the banded path; walk_band needs it
                        # bound even when `banded` stays empty
@@ -244,18 +244,18 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
             if jax.default_backend() == "tpu":
                 bout = pb.align_scores_banded(
                     qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
-                    band=band, want_parents=True)
+                    band=band, want_parents=True, mode=mode_i)
                 lane_mult = 128
             else:
                 bout = al.align_banded_parents(
                     qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
-                    band=band)
+                    band=band, mode=mode_i)
                 lane_mult = 16
             cert = jax.device_get(pb.certify(
                 bout.score, qa, ql, ta, tl,
                 np.int32(cfg.match), np.int32(cfg.mismatch),
                 np.int32(cfg.gap), band, strict=True,
-                lane_multiple=lane_mult))
+                lane_multiple=lane_mult, mode=mode_i))
             if cert.all():
                 out = bout
                 banded = {b: True for b in range(len(jobs))}
@@ -361,15 +361,11 @@ class Mapper:
         self._sharded_steps: dict = {}
 
     # The fused single-jit device step (pipeline/device_map.py) serves the
-    # score-only path and global-mode -c (banded parents + on-device walk);
-    # local/semiGlobal CIGARs and the FASTA match-nesting bug-compat gate
-    # stage through the host pipeline instead.
+    # score-only path and -c in all three modes (banded parents + on-device
+    # walk, mode-aware certificate); only the FASTA match-nesting
+    # bug-compat gate stages through the host pipeline instead.
     def _fast_path_ok(self) -> bool:
-        if self.cfg.fasta_match_nesting:
-            return False
-        if self.cfg.output_cigar:
-            return self.cfg.align_type == "global"
-        return True
+        return not self.cfg.fasta_match_nesting
 
     def _get_device_index(self):
         if self._device_index is None:
@@ -444,10 +440,12 @@ class Mapper:
         observation converges the bucket (no doubling ladder needed here)."""
         band = self._band_by_key.get((cap, False), 0)
         cfg = self.cfg
-        if not band or cfg.align_type != "global":
-            return          # map_step only bands global mode
-        if cfg.gap >= 0:
-            self._band_by_key[(cap, False)] = 0   # certificate needs gap < 0
+        if not band:
+            return
+        mode = al.MODE_BY_NAME[cfg.align_type]
+        if cfg.gap > 0 or (mode == 0 and cfg.gap == 0):
+            # Certificates need gap < 0 (global) / gap <= 0 (local, semi).
+            self._band_by_key[(cap, False)] = 0
             return
         W = -(-band // 128) * 128
         ql = np.minimum(out.q_end - out.q_begin + 1, cap)[:n_real]
@@ -460,21 +458,40 @@ class Mapper:
         if not n_mapped:
             return
         maxsub = max(cfg.match, cfg.mismatch, 0)
-        bound = (maxsub * np.minimum(ql, tl)
-                 + cfg.gap * (2 * (W - 1) - np.abs(diff)))
         whole = (ql <= W) & (tl <= W - 2)
-        cert = ((diff >= -W) & (diff <= W - 2) & (whole | (score >= bound)))
+        if mode == 0:
+            bound = (maxsub * np.minimum(ql, tl)
+                     + cfg.gap * (2 * (W - 1) - np.abs(diff)))
+            cert = ((diff >= -W) & (diff <= W - 2)
+                    & (whole | (score >= bound)))
+            # One uncertified read forces the whole batch through the in-jit
+            # full pass, so size the band for the WORST mapped read: solve
+            # 2*(W-1) >= (maxsub*min - score)/(-gap) + |diff|.
+            need2 = np.where(
+                mapped,
+                -(-(maxsub * np.minimum(ql, tl) - score) // (-cfg.gap))
+                + np.abs(diff), 0)
+            w_need = int(need2.max()) // 2 + 2
+        else:
+            bound = maxsub * np.clip(
+                np.maximum(np.minimum(ql, tl - (W - 1)),
+                           np.minimum(tl, ql - (W - 1))), 0, None)
+            cert = whole | (score >= bound)
+            if maxsub <= 0:
+                cert = whole | (score >= 0)
+                w_need = 0
+            else:
+                # Solve min(ql, tl-W+1) <= F and min(tl, ql-W+1) <= F for
+                # F = floor(score/maxsub): each term is satisfied outright
+                # when its len <= F, else needs W >= other_len + 1 - F.
+                F = score // maxsub
+                w1 = np.where(ql <= F, 0, tl + 1 - F)
+                w2 = np.where(tl <= F, 0, ql + 1 - F)
+                w_need = int(np.where(mapped, np.maximum(w1, w2), 0).max())
         self.counters.cert_total += n_mapped
         self.counters.cert_hits += int((mapped & cert).sum())
         if not bool((mapped & ~cert).any()):
             return
-        # One uncertified read forces the whole batch through the in-jit
-        # full pass, so size the band for the WORST mapped read.
-        need2 = np.where(
-            mapped,
-            -(-(maxsub * np.minimum(ql, tl) - score) // (-cfg.gap))
-            + np.abs(diff), 0)
-        w_need = int(need2.max()) // 2 + 2
         new = -(-max(w_need, band) // 128) * 128
         # Banding only wins while W < cap (the full kernel runs cap lanes).
         self._band_by_key[(cap, False)] = new if new <= cap // 2 else 0
@@ -732,6 +749,7 @@ class Mapper:
         checkpoint/resume (``start_at``; the reference restarts from
         scratch, SURVEY.md section 5) stays exact.
         """
+        from concurrent.futures import ThreadPoolExecutor
         cfg = self.cfg
         flush_size = _pow2_at_least(cfg.batch_size, 8)
         floor = cfg.k + cfg.w - 1
@@ -739,17 +757,40 @@ class Mapper:
         results: dict = {}              # idx -> [lines]
         emitted = start_at
         n_queued = 0
+        # One-deep pipeline (VERDICT r02 item 2): map_batch runs on a worker
+        # thread so batch k+1's device compute overlaps batch k's host-side
+        # PAF formatting and the main loop's packing of batch k+2.  A single
+        # worker keeps batch order (and the adaptive-band dict) serialized;
+        # at most one batch is in flight, so memory stays bounded.
+        executor = ThreadPoolExecutor(max_workers=1)
+        in_flight: list = []            # [(entries, chunk, future)] len <= 1
+
+        def complete_in_flight():
+            if not in_flight:
+                return
+            entries, chunk, fut = in_flight.pop()
+            mappings = fut.result()
+            for (idx, _, _), lines in zip(
+                    entries, self._format_chunk(chunk, mappings,
+                                                per_read_stats)):
+                results[idx] = lines
 
         def flush(cap):
             nonlocal n_queued
             entries = queues.pop(cap)
             n_queued -= len(entries)
             chunk = [(name, seq) for _, name, seq in entries]
-            mappings = self.map_batch([seq for _, seq in chunk])
-            for (idx, _, _), lines in zip(
-                    entries, self._format_chunk(chunk, mappings,
-                                                per_read_stats)):
-                results[idx] = lines
+            fut = executor.submit(self.map_batch, [seq for _, seq in chunk])
+            prev = list(in_flight)
+            in_flight.clear()
+            in_flight.append((entries, chunk, fut))
+            # Format the PREVIOUS batch while this one runs on the device.
+            for entries_p, chunk_p, fut_p in prev:
+                mappings = fut_p.result()
+                for (idx, _, _), lines in zip(
+                        entries_p, self._format_chunk(chunk_p, mappings,
+                                                      per_read_stats)):
+                    results[idx] = lines
 
         def drain():
             nonlocal emitted
@@ -766,29 +807,35 @@ class Mapper:
         # progress.  When the in-flight total (queued + completed-but-
         # unemitted) crosses the bound, flush the bucket holding the OLDEST
         # queued record - after a drain that record is exactly `emitted`, so
-        # each valve flush provably advances the checkpoint.
+        # each valve flush (run synchronously) provably advances the
+        # checkpoint.
         pressure = 4 * flush_size
-        for idx in range(start_at, len(records)):
-            name, seq = records[idx]
-            cap = _pow2_at_least(max(len(seq), floor), 16)
-            queues.setdefault(cap, []).append((idx, name, seq))
-            n_queued += 1
-            lines: List[str] = []
-            if len(queues[cap]) >= flush_size:
-                flush(cap)
-                lines.extend(drain())
-            while queues and n_queued + len(results) > pressure:
-                oldest = min(queues, key=lambda c: queues[c][0][0])
-                flush(oldest)
-                lines.extend(drain())
+        try:
+            for idx in range(start_at, len(records)):
+                name, seq = records[idx]
+                cap = _pow2_at_least(max(len(seq), floor), 16)
+                queues.setdefault(cap, []).append((idx, name, seq))
+                n_queued += 1
+                lines: List[str] = []
+                if len(queues[cap]) >= flush_size:
+                    flush(cap)
+                    lines.extend(drain())
+                while queues and n_queued + len(results) > pressure:
+                    oldest = min(queues, key=lambda c: queues[c][0][0])
+                    flush(oldest)
+                    complete_in_flight()
+                    lines.extend(drain())
+                if lines or emitted > last_yield:
+                    last_yield = emitted
+                    yield emitted, lines
+            while queues:
+                flush(next(iter(queues)))
+            complete_in_flight()
+            lines = drain()
             if lines or emitted > last_yield:
-                last_yield = emitted
                 yield emitted, lines
-        while queues:
-            flush(next(iter(queues)))
-        lines = drain()
-        if lines or emitted > last_yield:
-            yield emitted, lines
+        finally:
+            executor.shutdown(wait=True)
 
     def map_records(self, records: Sequence[Tuple[str, str]],
                     per_read_stats: bool = False) -> List[str]:

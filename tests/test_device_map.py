@@ -133,20 +133,24 @@ def test_map_step_pallas_path(problem):
             jax.device_get(getattr(got, field)), err_msg=field)
 
 
-def test_map_step_cigar_matches_host_pipeline(problem):
-    """Fused -c step (banded parents + on-device walk) vs the host pipeline:
-    identical PAF lines including CIGARs for every mapped read."""
+@pytest.mark.parametrize("mode_name", ["global", "local", "semiGlobal"])
+def test_map_step_cigar_matches_host_pipeline(problem, mode_name):
+    """Fused -c step (banded parents + on-device walk) vs the host pipeline
+    in ALL THREE modes: identical PAF lines including CIGARs for every
+    mapped read (local/semiGlobal fused -c is new in r03)."""
     genome, index, didx, reads, arr, lens = problem
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
 
     records = [(f"r{i}", s) for i, s in enumerate(reads)]
-    cfg = MapperConfig(k=K, w=W, f=F, output_cigar=True)
+    cfg = MapperConfig(k=K, w=W, f=F, output_cigar=True,
+                       align_type=mode_name)
     fused_m = Mapper([("ref", genome)], cfg)
     assert fused_m._fast_path_ok()
     fused_lines = fused_m.map_records(records)
 
     host_m = Mapper([("ref", genome)], MapperConfig(k=K, w=W, f=F,
-                                                    output_cigar=True))
+                                                    output_cigar=True,
+                                                    align_type=mode_name))
     host_m._fast_path_ok = lambda: False
     host_lines = host_m.map_records(records)
     assert fused_lines == host_lines

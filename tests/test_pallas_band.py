@@ -173,6 +173,79 @@ def test_banded_parents_cigar_exact():
         assert want_cig == got_cig, (b, want_cig, got_cig)
 
 
+@pytest.mark.parametrize("mode,name", [(1, "local"), (2, "semiGlobal")])
+def test_banded_local_semiglobal_exact(mode, name):
+    """Banded local/semiGlobal (r03): certified scores, goal cells and
+    CIGARs must equal the full DP / executable spec byte-for-byte, in both
+    the lax and Pallas kernels."""
+    from bioinfo1_tpu.utils import cigar as cg
+    from bioinfo1_tpu import reference_model as rm
+
+    pairs = _ont_like_pairs(41 + mode, 8, minlen=200, maxlen=400, err=0.05)
+    qs = [p[0] for p in pairs]
+    ts = [p[1] for p in pairs]
+    qa, ql = _pack(qs, max(len(s) for s in qs))
+    ta, tl = _pack(ts, max(len(s) for s in ts))
+    band = 128
+
+    full = al.align_batch(qa, ql, ta, tl, mode, 1, -1, -1,
+                          want_parents=True)
+    for kernel in ("lax", "pallas"):
+        if kernel == "lax":
+            got = al.align_banded_parents(qa, ql, ta, tl, 1, -1, -1,
+                                          band=band, mode=mode)
+            W, lm = band, 16
+        else:
+            got = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1,
+                                         band=band, block=8, interpret=True,
+                                         want_parents=True, mode=mode)
+            W, lm = 128, 128
+        cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                     jnp.int32(1), jnp.int32(-1),
+                                     jnp.int32(-1), band, strict=True,
+                                     lane_multiple=lm, mode=mode))
+        assert cert.all(), (kernel, cert)
+        np.testing.assert_array_equal(np.asarray(got.score),
+                                      np.asarray(full.score), kernel)
+        np.testing.assert_array_equal(np.asarray(got.goal_i),
+                                      np.asarray(full.goal_i), kernel)
+        np.testing.assert_array_equal(np.asarray(got.goal_j),
+                                      np.asarray(full.goal_j), kernel)
+        gp = np.asarray(got.parents)
+        for b in range(len(pairs)):
+            want = rm.align(qs[b], ts[b], name, 1, -1, -1, want_cigar=True)
+            got_cig, tb = cg.traceback(gp[:, b, :], qs[b], ts[b],
+                                       int(got.goal_i[b]),
+                                       int(got.goal_j[b]), name,
+                                       int(got.score[b]), 1, -1, -1, band=W)
+            assert got.score[b] == want.score, (kernel, b)
+            assert got_cig == want.cigar, (kernel, b, got_cig, want.cigar)
+            if name == "local":
+                assert tb == want.target_begin, (kernel, b)
+
+
+def test_banded_local_certificate_rejects_far_repeat():
+    """A local pair whose best alignment lies far off-diagonal (long target
+    prefix before the match) must NOT be certified at a narrow band."""
+    rng = random.Random(9)
+    core = "".join(rng.choice("ACGT") for _ in range(150))
+    q = core
+    t = "".join(rng.choice("ACGT") for _ in range(400)) + core
+    qa, ql = _pack([q], len(q))
+    ta, tl = _pack([t], len(t))
+    got = al.align_banded_parents(qa, ql, ta, tl, 1, -1, -1, band=64,
+                                  mode=1)
+    cert = np.asarray(pb.certify(got.score, qa, ql, ta, tl,
+                                 jnp.int32(1), jnp.int32(-1), jnp.int32(-1),
+                                 64, strict=True, lane_multiple=16, mode=1))
+    full = al.align_batch(qa, ql, ta, tl, 1, 1, -1, -1)
+    # The true local optimum (150 matches at offset ~400) is invisible to a
+    # 64-band; the certificate must refuse rather than certify a lie.
+    assert int(full.score[0]) == 150
+    assert int(got.score[0]) < 150
+    assert not cert[0]
+
+
 def test_pallas_banded_parents_match_lax():
     """Pallas want_parents kernel == lax align_banded_parents.
 
