@@ -173,8 +173,12 @@ def measure_product(genome):
             recs.append((f"r{i}", r.tobytes().decode("latin1")))
         return recs
 
-    mixed = make_reads([1500, 3000, 6000] * 64)         # 192 reads, 3 buckets
-    cig = make_reads([4096] * 128)
+    # Steady-state sizing: each length bucket fills the shipped 512-read
+    # flush (and the -c run fills it twice), so the timed region measures
+    # the pipelined per-flush behavior a real whole-file run sees, not one
+    # undersized tail batch.
+    mixed = make_reads([1500, 3000, 6000] * 512)        # 1536 reads, 3 buckets
+    cig = make_reads([4096] * 1024)
 
     cfg = MapperConfig()        # CLI defaults (batch_size=512)
     mapper = Mapper([("ref", genome_str)], cfg)

@@ -241,6 +241,7 @@ def main(argv: Optional[List[str]] = None,
     # (which needs every record up front) in single-process runs.
     stream_mode = (out_path is not None and not statistic and nproc == 1)
     reads = None
+    total_reads = None
     if stream_mode:
         try:
             stream = fastx.stream_reads(file2)
@@ -248,6 +249,19 @@ def main(argv: Optional[List[str]] = None,
             print("Given file is not in FASTA or FASTQ format! ", file=err)
             return 1
         is_fastq = stream.is_fastq
+    elif nproc > 1 and not statistic:
+        # Sharded parse (SURVEY.md 2.2): a count-only native pass sizes the
+        # slices, then each process materializes ONLY its contiguous record
+        # slice - per-host memory ~1/nproc of the reads file instead of all
+        # of it (r02 parsed the whole file on every process).
+        try:
+            _, total_reads = fastx.parse_reads_slice(file2, 0, 0)
+            lo, hi = ps.process_read_slice(total_reads)
+            reads, _ = fastx.parse_reads_slice(file2, lo, hi)
+        except (OSError, fastx.FormatError):
+            print("Given file is not in FASTA or FASTQ format! ", file=err)
+            return 1
+        is_fastq = reads.is_fastq
     else:
         try:
             reads = fastx.parse_reads(file2)
@@ -272,29 +286,64 @@ def main(argv: Optional[List[str]] = None,
     per_read_stats = statistic and not is_fastq
 
     # Multi-host: each process maps its contiguous read slice; the PAF
-    # stream is gathered to process 0 (deterministic input order).
+    # stream is gathered point-to-point to process 0 (deterministic input
+    # order).  With -o, every process checkpoints its slice to a part file
+    # (FILE.part<p> + FILE.progress.p<p>), so --resume works per process -
+    # the merge re-runs from the completed parts after a crash.
     if nproc > 1:
-        lo, hi = ps.process_read_slice(len(reads.records))
-        with timers.stage("map"):
-            local_lines = mapper.map_records(reads.records[lo:hi],
-                                             per_read_stats=per_read_stats)
-            merged = ps.gather_lines_to_process0(local_lines)
-        if merged is None:
+        import json as _json
+        pid = jax.process_index()
+        if total_reads is not None:
+            local_records = reads.records         # already this one's slice
+        else:
+            lo, hi = ps.process_read_slice(len(reads.records))
+            local_records = reads.records[lo:hi]
+
+        def finish():
             if profile:
                 print(timers.report(), file=err)
                 print(_json_dumps(mapper.counters.as_dict()), file=err)
-            return 0                      # non-writer process
-        sink = open(out_path, "w") if out_path else out
-        try:
+            return 0
+
+        if out_path is not None:
+            part_path = f"{out_path}.part{pid}"
+            progress_path = f"{out_path}.progress.p{pid}"
+            start_at = 0
+            fmode = "w"
+            if (resume and os.path.exists(progress_path)
+                    and os.path.exists(part_path)):
+                with open(progress_path) as fh:
+                    start_at = int(_json.load(fh).get("completed_reads", 0))
+                fmode = "a"
+            with timers.stage("map"), open(part_path, fmode) as pf:
+                for done, lines in mapper.map_records_iter(
+                        local_records, per_read_stats=per_read_stats,
+                        start_at=start_at):
+                    for line in lines:
+                        print(line, file=pf)
+                    pf.flush()
+                    with open(progress_path, "w") as fh:
+                        _json.dump({"completed_reads": done,
+                                    "total_reads": len(local_records)}, fh)
+            with open(part_path) as pf:
+                local_lines = pf.read().splitlines()
+            with timers.stage("merge"):
+                merged = ps.gather_lines_to_process0(local_lines)
+            if merged is not None:
+                with open(out_path, "w") as sink:
+                    for line in merged:
+                        print(line, file=sink)
+            return finish()
+
+        with timers.stage("map"):
+            local_lines = mapper.map_records(local_records,
+                                             per_read_stats=per_read_stats)
+        with timers.stage("merge"):
+            merged = ps.gather_lines_to_process0(local_lines)
+        if merged is not None:
             for line in merged:
-                print(line, file=sink)
-        finally:
-            if out_path:
-                sink.close()
-        if profile:
-            print(timers.report(), file=err)
-            print(_json_dumps(mapper.counters.as_dict()), file=err)
-        return 0
+                print(line, file=out)
+        return finish()
 
     counters.start()
     if out_path is None:

@@ -142,6 +142,28 @@ def parse_reads(path: str) -> SniffedReads:
         raise FormatError("Given file is not in FASTA or FASTQ format!")
 
 
+def parse_reads_slice(path: str, lo: int, hi: int
+                      ) -> Tuple[SniffedReads, int]:
+    """Records [lo, hi) plus the TOTAL record count (multi-host read
+    sharding: each process materializes only its contiguous slice; a
+    count-only native pass sizes the slices, so per-host memory is
+    ~1/nproc of the reads file instead of all of it)."""
+    try:
+        from bioinfo1_tpu.io import native_io
+        res = native_io.parse_slice(path, 0, lo, hi)
+    except Exception:
+        res = None
+    if res is not None:
+        kind, records, total = res
+        if kind == 2:
+            return SniffedReads(records, True), total
+        if kind == 1:
+            return SniffedReads(records, False), total
+        raise FormatError("Given file is not in FASTA or FASTQ format!")
+    sr = parse_reads(path)          # pure-Python fallback: parse then slice
+    return SniffedReads(sr.records[lo:hi], sr.is_fastq), len(sr.records)
+
+
 def _open_text(path: str):
     """Line-buffered latin1 text stream, transparently gunzipping."""
     f = open(path, "rb")

@@ -28,6 +28,13 @@ def _lib():
     if not _configured:
         lib.bioinfo1_fastx_parse.restype = ctypes.c_void_p
         lib.bioinfo1_fastx_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        if hasattr(lib, "bioinfo1_fastx_parse_slice"):
+            lib.bioinfo1_fastx_parse_slice.restype = ctypes.c_void_p
+            lib.bioinfo1_fastx_parse_slice.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_int64]
+            lib.bioinfo1_fastx_total.restype = ctypes.c_int64
+            lib.bioinfo1_fastx_total.argtypes = [ctypes.c_void_p]
         lib.bioinfo1_fastx_kind.restype = ctypes.c_int
         lib.bioinfo1_fastx_kind.argtypes = [ctypes.c_void_p]
         for fn in ("count", "name_bytes", "seq_bytes"):
@@ -57,6 +64,30 @@ def parse(path: str, mode: int = 0) -> Optional[Tuple[int, List[Record]]]:
     if lib is None:
         return None
     h = lib.bioinfo1_fastx_parse(path.encode(), mode)
+    return _materialize(lib, h)
+
+
+def parse_slice(path: str, mode: int, lo: int, hi: int
+                ) -> Optional[Tuple[int, List[Record], int]]:
+    """Parse keeping only records [lo, hi) (multi-host read sharding).
+
+    Returns (kind, records, total_record_count); lo == hi == 0 is a
+    count-only pass (no sequence bytes held).  None when the native library
+    (or its slice entry point) is unavailable.
+    """
+    lib = _lib()
+    if lib is None or not hasattr(lib, "bioinfo1_fastx_parse_slice"):
+        return None
+    h = lib.bioinfo1_fastx_parse_slice(path.encode(), mode, lo, hi)
+    total = int(lib.bioinfo1_fastx_total(h))
+    res = _materialize(lib, h, free=False)
+    lib.bioinfo1_fastx_free(h)
+    kind, records = res
+    return (kind, records, total)
+
+
+def _materialize(lib, h, free: bool = True
+                 ) -> Optional[Tuple[int, List[Record]]]:
     try:
         kind = lib.bioinfo1_fastx_kind(h)
         if kind == 0:
@@ -80,4 +111,5 @@ def parse(path: str, mode: int = 0) -> Optional[Tuple[int, List[Record]]]:
         ]
         return (kind, records)
     finally:
-        lib.bioinfo1_fastx_free(h)
+        if free:
+            lib.bioinfo1_fastx_free(h)

@@ -151,20 +151,112 @@ def process_read_slice(n_records: int) -> tuple:
     return lo, min(lo + per, n_records)
 
 
+def _merge_endpoint():
+    """(host, port) of the process-0 merge socket, derived from the JAX
+    coordinator address (which lives on process 0 by convention)."""
+    import os
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
+    host, _, port = addr.partition(":")
+    mport = os.environ.get("BIOINFO1_MERGE_PORT")
+    if mport:
+        return host or "127.0.0.1", int(mport)
+    return host or "127.0.0.1", (int(port) if port else 9400) + 17
+
+
+def _p2p_gather_blobs(blob: bytes, timeout_s: float = 600.0):
+    """Point-to-point gather of one byte blob per process TO process 0.
+
+    Pod-shaped (VERDICT r02 item 4): the r02 implementation allgathered the
+    full max-padded blob to EVERY process - O(P * max_blob) DCN traffic and
+    memory per host.  Here each non-zero process opens one TCP connection
+    to process 0 and streams its blob; total traffic is sum(blob sizes),
+    received only where the output is written.  Returns [blob_p0, ...,
+    blob_{P-1}] on process 0, None elsewhere.
+    """
+    import socket
+    import struct
+    p, n = jax.process_index(), jax.process_count()
+    host, port = _merge_endpoint()
+    if p == 0:
+        blobs = {0: blob}
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("0.0.0.0", port))
+        srv.listen(n)
+        srv.settimeout(timeout_s)
+        try:
+            for _ in range(n - 1):
+                conn, _a = srv.accept()
+                conn.settimeout(timeout_s)
+                with conn:
+                    hdr = _recv_exact(conn, 12)
+                    pid, size = struct.unpack("<iq", hdr)
+                    blobs[pid] = _recv_exact(conn, size)
+        finally:
+            srv.close()
+        return [blobs[i] for i in range(n)]
+    # Sender: connect with retry (process 0 may not be listening yet).
+    import time as _time
+    deadline = _time.time() + timeout_s
+    last_err = None
+    while _time.time() < deadline:
+        try:
+            with socket.create_connection((host, port), timeout=10) as s:
+                s.settimeout(timeout_s)
+                s.sendall(struct.pack("<iq", p, len(blob)))
+                s.sendall(blob)
+            return None
+        except OSError as e:
+            last_err = e
+            _time.sleep(0.2)
+    raise RuntimeError(f"merge send to process 0 failed: {last_err}")
+
+
+def _recv_exact(conn, size: int) -> bytes:
+    chunks = []
+    got = 0
+    while got < size:
+        b = conn.recv(min(1 << 22, size - got))
+        if not b:
+            raise RuntimeError("merge connection closed early")
+        chunks.append(b)
+        got += len(b)
+    return b"".join(chunks)
+
+
 def gather_lines_to_process0(lines):
     """Deterministic multi-host merge of output lines to process 0.
 
     The TPU-native replacement for the reference's nondeterministic
     ``omp critical`` stdout interleaving (team_mapper.cpp:685): each
     process's PAF lines (its contiguous read slice, already in input order)
-    are encoded as one byte blob, all-gathered over DCN, and concatenated in
-    process order - so the merged stream is the exact single-process output.
+    are streamed point-to-point to process 0 and concatenated in process
+    order - so the merged stream is the exact single-process output.
 
     Returns the merged line list on process 0, None elsewhere.
-    Single-process runs short-circuit (no collective).
+    Single-process runs short-circuit (no collective).  Set
+    BIOINFO1_MERGE=allgather to fall back to the collective path (e.g. when
+    the merge port is firewalled).
     """
     if jax.process_count() == 1:
         return list(lines)
+    import os
+    if os.environ.get("BIOINFO1_MERGE") == "allgather":
+        return _gather_lines_allgather(lines)
+    blob = ("\n".join(lines)).encode("utf-8")
+    blobs = _p2p_gather_blobs(blob)
+    if blobs is None:
+        return None
+    merged = []
+    for b in blobs:
+        text = b.decode("utf-8")
+        if text:
+            merged.extend(text.split("\n"))
+    return merged
+
+
+def _gather_lines_allgather(lines):
+    """Collective fallback merge (the r02 shape: max-padded allgather)."""
     import numpy as np
     from jax.experimental import multihost_utils as mhu
 

@@ -351,8 +351,10 @@ class Mapper:
                 threshold_from_rev_unique=cfg.threshold_from_rev_unique,
                 exact_ties=cfg.exact_ties,
                 oob_end_windows=cfg.oob_end_windows)
+        import threading
         self.ref_len = len(reference)
         self.counters = MapperCounters()
+        self._counters_lock = threading.Lock()   # map_batch runs on worker
         self._band_by_key: dict = {}     # (cap, for_cigar) -> band
         self._device_index = None
         self._mesh = None
@@ -488,8 +490,9 @@ class Mapper:
                 w1 = np.where(ql <= F, 0, tl + 1 - F)
                 w2 = np.where(tl <= F, 0, ql + 1 - F)
                 w_need = int(np.where(mapped, np.maximum(w1, w2), 0).max())
-        self.counters.cert_total += n_mapped
-        self.counters.cert_hits += int((mapped & cert).sum())
+        with self._counters_lock:
+            self.counters.cert_total += n_mapped
+            self.counters.cert_hits += int((mapped & cert).sum())
         if not bool((mapped & ~cert).any()):
             return
         new = -(-max(w_need, band) // 128) * 128
@@ -553,7 +556,8 @@ class Mapper:
                 if miss.any() and band * 2 <= max_band:
                     band = band * 2
                     self._band_by_key[(cap, True)] = band
-                    self.counters.band_retries += int(miss.sum())
+                    with self._counters_lock:
+                        self.counters.band_retries += int(miss.sum())
                     continue
                 break
         else:
@@ -568,10 +572,12 @@ class Mapper:
             from bioinfo1_tpu.ops.trace import unpack_codes_np
             codes = unpack_codes_np(cig.codes)
             nm = out.mapped[:len(seqs)]
-            self.counters.cert_total += int(nm.sum())
-            self.counters.cert_hits += int(
-                (nm & cig.certified[:len(seqs)]).sum())
-        self.counters.batches += 1
+            with self._counters_lock:
+                self.counters.cert_total += int(nm.sum())
+                self.counters.cert_hits += int(
+                    (nm & cig.certified[:len(seqs)]).sum())
+        with self._counters_lock:
+            self.counters.batches += 1
         for i in range(len(seqs)):
             if out.overflow[i]:
                 results.append(ReadMapping(mapped=False))
@@ -658,7 +664,8 @@ class Mapper:
                                                      b_budget)
                             host_retry = []
                     except Exception as e:
-                        self.counters.faults += 1
+                        with self._counters_lock:
+                            self.counters.faults += 1
                         print(f"ERROR: Exception during Align: {e}",
                               file=sys.stderr)
                         if on_device:
@@ -668,11 +675,12 @@ class Mapper:
                             for i in sub_idxs:
                                 results[i] = ReadMapping(mapped=False)
                         continue
-                    if not on_device:
-                        self.counters.batches += 1
                     retry_s, host_s = set(retry), set(host_retry)
-                    self.counters.budget_retries += len(retry_s)
-                    self.counters.host_fallbacks += len(host_s)
+                    with self._counters_lock:
+                        if not on_device:
+                            self.counters.batches += 1
+                        self.counters.budget_retries += len(retry_s)
+                        self.counters.host_fallbacks += len(host_s)
                     for loc, i in enumerate(sub_idxs):
                         if loc in retry_s:
                             next_pending.append(i)
@@ -686,13 +694,17 @@ class Mapper:
                 for i in pending:
                     results[i] = ReadMapping(mapped=False)
                 break
-        c = self.counters
-        c.reads += len(seqs)
+        cells = 0.0
+        n_mapped = 0
         for r in results:
             if r is not None and r.mapped:
-                c.mapped += 1
-                c.dp_cells += float((r.q_end - r.q_begin + 1)
-                                    * (r.t_end - r.t_begin + 1))
+                n_mapped += 1
+                cells += float((r.q_end - r.q_begin + 1)
+                               * (r.t_end - r.t_begin + 1))
+        with self._counters_lock:
+            self.counters.reads += len(seqs)
+            self.counters.mapped += n_mapped
+            self.counters.dp_cells += cells
         return results
 
     def _format_chunk(self, chunk: Sequence[Tuple[str, str]],
@@ -757,23 +769,29 @@ class Mapper:
         results: dict = {}              # idx -> [lines]
         emitted = start_at
         n_queued = 0
-        # One-deep pipeline (VERDICT r02 item 2): map_batch runs on a worker
-        # thread so batch k+1's device compute overlaps batch k's host-side
-        # PAF formatting and the main loop's packing of batch k+2.  A single
-        # worker keeps batch order (and the adaptive-band dict) serialized;
-        # at most one batch is in flight, so memory stays bounded.
-        executor = ThreadPoolExecutor(max_workers=1)
-        in_flight: list = []            # [(entries, chunk, future)] len <= 1
+        # Two-deep pipeline (VERDICT r02 item 2): map_batch calls run on TWO
+        # worker threads, so while batch k's results cross the (high-latency
+        # ~30 ms/way) device link, batch k+1's upload and device execution
+        # proceed - profiling showed the product path is transfer-LATENCY
+        # bound, not host-work bound, so overlapping the device round-trips
+        # themselves is what closes the gap.  Device execution still
+        # serializes on the chip's queue; per-read results are keyed by
+        # input index, so completion order cannot affect output order.
+        DEPTH = 3
+        executor = ThreadPoolExecutor(max_workers=DEPTH)
+        in_flight: list = []            # FIFO [(entries, chunk, future)]
 
-        def complete_in_flight():
-            if not in_flight:
-                return
-            entries, chunk, fut = in_flight.pop()
+        def complete_oldest():
+            entries, chunk, fut = in_flight.pop(0)
             mappings = fut.result()
             for (idx, _, _), lines in zip(
                     entries, self._format_chunk(chunk, mappings,
                                                 per_read_stats)):
                 results[idx] = lines
+
+        def complete_in_flight():
+            while in_flight:
+                complete_oldest()
 
         def flush(cap):
             nonlocal n_queued
@@ -781,16 +799,9 @@ class Mapper:
             n_queued -= len(entries)
             chunk = [(name, seq) for _, name, seq in entries]
             fut = executor.submit(self.map_batch, [seq for _, seq in chunk])
-            prev = list(in_flight)
-            in_flight.clear()
             in_flight.append((entries, chunk, fut))
-            # Format the PREVIOUS batch while this one runs on the device.
-            for entries_p, chunk_p, fut_p in prev:
-                mappings = fut_p.result()
-                for (idx, _, _), lines in zip(
-                        entries_p, self._format_chunk(chunk_p, mappings,
-                                                      per_read_stats)):
-                    results[idx] = lines
+            while len(in_flight) > DEPTH:
+                complete_oldest()
 
         def drain():
             nonlocal emitted
@@ -820,7 +831,11 @@ class Mapper:
                 if len(queues[cap]) >= flush_size:
                     flush(cap)
                     lines.extend(drain())
-                while queues and n_queued + len(results) > pressure:
+                def limbo():
+                    # queued + completed-but-unemitted + dispatched-in-flight
+                    return (n_queued + len(results)
+                            + sum(len(e) for e, _, _ in in_flight))
+                while queues and limbo() > pressure:
                     oldest = min(queues, key=lambda c: queues[c][0][0])
                     flush(oldest)
                     complete_in_flight()

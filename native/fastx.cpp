@@ -33,6 +33,13 @@ struct FastxResult {
     std::string seqs;
     std::vector<int64_t> name_off;    // size n+1 prefix offsets
     std::vector<int64_t> seq_off;
+    // Record-slice filter (multi-host read sharding, SURVEY.md 2.2): only
+    // records with keep_lo <= index < keep_hi are materialized; `total`
+    // counts every record scanned either way, so one count-only pass
+    // (keep_lo == keep_hi == 0) sizes the per-process slices.
+    int64_t keep_lo = 0;
+    int64_t keep_hi = -1;             // -1 = keep everything
+    int64_t total = 0;
 };
 
 bool read_file(const char* path, std::string* out) {
@@ -50,6 +57,8 @@ bool read_file(const char* path, std::string* out) {
 
 void push_record(FastxResult* r, const std::string& header,
                  const std::string& seq) {
+    int64_t idx = r->total++;
+    if (r->keep_hi >= 0 && (idx < r->keep_lo || idx >= r->keep_hi)) return;
     // name = first whitespace-delimited token of the header.
     size_t b = 0;
     while (b < header.size() && std::isspace((unsigned char)header[b])) ++b;
@@ -178,6 +187,38 @@ void* bioinfo1_fastx_parse(const char* path, int mode) {
     }
     return r;
 }
+
+// Slice parse (multi-host read sharding): materialize only records
+// [keep_lo, keep_hi); keep_hi == -1 keeps all.  bioinfo1_fastx_total
+// reports the number of records scanned regardless, so a count-only pass
+// (keep_lo == keep_hi == 0) sizes per-process slices without holding any
+// sequence bytes.
+void* bioinfo1_fastx_parse_slice(const char* path, int mode,
+                                 int64_t keep_lo, int64_t keep_hi) {
+    auto* r = new FastxResult();
+    r->keep_lo = keep_lo;
+    r->keep_hi = keep_hi;
+    std::string text;
+    if (!read_file(path, &text)) {
+        r->error = "cannot read file";
+        return r;
+    }
+    if (mode == 1) {
+        parse_fasta(text, r);
+    } else if (mode == 2) {
+        parse_fastq(text, r);
+    } else {
+        if (!parse_fastq(text, r)) {
+            *r = FastxResult();
+            r->keep_lo = keep_lo;
+            r->keep_hi = keep_hi;
+            parse_fasta(text, r);
+        }
+    }
+    return r;
+}
+
+int64_t bioinfo1_fastx_total(void* h) { return ((FastxResult*)h)->total; }
 
 int bioinfo1_fastx_kind(void* h) { return ((FastxResult*)h)->kind; }
 

@@ -27,6 +27,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if nproc > 1:
+        # Env form so parallel.shard._merge_endpoint derives the p2p merge
+        # port from the same coordinator address.
+        os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
                                    process_id=pid)
 
