@@ -669,7 +669,13 @@ class Mapper:
                         print(f"ERROR: Exception during Align: {e}",
                               file=sys.stderr)
                         if on_device:
-                            force_host.update(sub_idxs)
+                            # Transient HBM exhaustion (concurrent batches
+                            # in flight): retry FUSED after the pressure
+                            # drains before surrendering to the
+                            # (bigger-tensor) full-matrix host path.
+                            if ("RESOURCE_EXHAUSTED" not in str(e)
+                                    or attempts >= 2):
+                                force_host.update(sub_idxs)
                             next_pending.extend(sub_idxs)
                         else:
                             for i in sub_idxs:
@@ -778,11 +784,18 @@ class Mapper:
         # serializes on the chip's queue; per-read results are keyed by
         # input index, so completion order cannot affect output order.
         DEPTH = 3
+        # HBM pressure bound: the TPU holds the replicated index (~4.4 GB
+        # for E. coli at the direct-address directory) plus every in-flight
+        # batch's transient workspaces; unbounded concurrency OOMs on big
+        # read buckets.  Cap the PADDED bases dispatched concurrently.
+        import os as _os
+        max_inflight_bases = int(_os.environ.get(
+            "BIOINFO1_INFLIGHT_BASES", 6 * 1024 * 1024))
         executor = ThreadPoolExecutor(max_workers=DEPTH)
-        in_flight: list = []            # FIFO [(entries, chunk, future)]
+        in_flight: list = []            # FIFO [(entries, chunk, fut, bases)]
 
         def complete_oldest():
-            entries, chunk, fut = in_flight.pop(0)
+            entries, chunk, fut, _bases = in_flight.pop(0)
             mappings = fut.result()
             for (idx, _, _), lines in zip(
                     entries, self._format_chunk(chunk, mappings,
@@ -798,10 +811,14 @@ class Mapper:
             entries = queues.pop(cap)
             n_queued -= len(entries)
             chunk = [(name, seq) for _, name, seq in entries]
-            fut = executor.submit(self.map_batch, [seq for _, seq in chunk])
-            in_flight.append((entries, chunk, fut))
-            while len(in_flight) > DEPTH:
+            bases = _pow2_at_least(len(entries), 8) * cap
+            while in_flight and (
+                    len(in_flight) >= DEPTH
+                    or sum(b for *_x, b in in_flight) + bases
+                    > max_inflight_bases):
                 complete_oldest()
+            fut = executor.submit(self.map_batch, [seq for _, seq in chunk])
+            in_flight.append((entries, chunk, fut, bases))
 
         def drain():
             nonlocal emitted
@@ -834,7 +851,7 @@ class Mapper:
                 def limbo():
                     # queued + completed-but-unemitted + dispatched-in-flight
                     return (n_queued + len(results)
-                            + sum(len(e) for e, _, _ in in_flight))
+                            + sum(len(e) for e, *_rest in in_flight))
                 while queues and limbo() > pressure:
                     oldest = min(queues, key=lambda c: queues[c][0][0])
                     flush(oldest)
