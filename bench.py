@@ -147,7 +147,17 @@ def measure_ours(genome, reads, lens):
     return reads_per_s, mapped, t_index, gcups, pallas_parity
 
 
-def measure_product(genome):
+def make_product_mapper(genome):
+    """One shared Mapper for every product-path bench: each Mapper carries
+    its own ~4.4 GB device index replica (direct-address directory), so
+    building one per measure would stack replicas in HBM and OOM the later
+    measurements."""
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+    genome_str = genome.tobytes().decode("latin1")
+    return Mapper([("ref", genome_str)], MapperConfig())
+
+
+def measure_product(genome, mapper):
     """Product-path benches: the bucketed Mapper pipeline the CLI runs.
 
     (a) mixed-length score-only mapping (1.5/3/6 kb reads - three buckets),
@@ -181,7 +191,6 @@ def measure_product(genome):
     cig = make_reads([4096] * 1024)
 
     cfg = MapperConfig()        # CLI defaults (batch_size=512)
-    mapper = Mapper([("ref", genome_str)], cfg)
 
     def timed(records):
         mapper.map_records(records)                      # warm/compile
@@ -276,21 +285,21 @@ def measure_baseline(genome, reads):
     return d
 
 
-def measure_indel(genome):
+def measure_indel(genome, mapper):
     """ONT-realistic workload (VERDICT r02 item 1): ~12% total error with
     indels (utils/simulate.py), mixed 2/4/8 kb lengths, through the PRODUCT
     pipeline.  Returns (reads/s, counters dict) - the counters carry the
     banded-certificate hit rate and retry-ladder counts."""
+    import dataclasses
     import numpy as np
-    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+    from bioinfo1_tpu.pipeline.mapper import MapperConfig, MapperCounters
     from bioinfo1_tpu.utils import simulate as sim
 
     rng = np.random.default_rng(SEED + 2)
-    genome_str = genome.tobytes().decode("latin1")
     lengths = [2000, 4000, 8000] * 43               # 129 reads, 3 buckets
     records = sim.simulate_reads(genome, lengths, rng)
 
-    mapper = Mapper([("ref", genome_str)], MapperConfig())
+    mapper.cfg = MapperConfig()                     # shared mapper: reset -c
     # Warm until the adaptive bands stabilize: the first pass runs at the
     # default band, certificate misses jump each bucket to its needed band,
     # and the NEXT pass compiles those specializations - timing before
@@ -300,11 +309,7 @@ def measure_indel(genome):
         mapper.map_records(records)
         if dict(mapper._band_by_key) == before:
             break
-    import dataclasses
-    mapper.counters = dataclasses.replace(
-        mapper.counters, reads=0, mapped=0, dp_cells=0.0, batches=0,
-        cert_total=0, cert_hits=0, budget_retries=0, host_fallbacks=0,
-        band_retries=0)
+    mapper.counters = MapperCounters()
     t0 = time.time()
     lines = mapper.map_records(records)
     dt = time.time() - t0
@@ -317,13 +322,18 @@ def run_measurement():
     genome, reads, lens = make_data()
     ours, mapped, t_index, gcups, pallas_parity = measure_ours(
         genome, reads, lens)
+    product_mapper = None
     try:
-        mixed_rps, mixed_bps, cigar_rps = measure_product(genome)
+        product_mapper = make_product_mapper(genome)
+        mixed_rps, mixed_bps, cigar_rps = measure_product(
+            genome, product_mapper)
     except Exception as e:  # product bench must not sink the headline
         mixed_rps = mixed_bps = cigar_rps = None
         print(f"product bench failed: {e}", file=sys.stderr)
     try:
-        indel_rps, indel_counters = measure_indel(genome)
+        if product_mapper is None:
+            product_mapper = make_product_mapper(genome)
+        indel_rps, indel_counters = measure_indel(genome, product_mapper)
     except Exception as e:
         indel_rps, indel_counters = None, {"error": str(e)}
         print(f"indel bench failed: {e}", file=sys.stderr)

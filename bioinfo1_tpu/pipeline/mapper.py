@@ -783,7 +783,7 @@ class Mapper:
         # themselves is what closes the gap.  Device execution still
         # serializes on the chip's queue; per-read results are keyed by
         # input index, so completion order cannot affect output order.
-        DEPTH = 3
+        DEPTH = 2
         # HBM pressure bound: the TPU holds the replicated index (~4.4 GB
         # for E. coli at the direct-address directory) plus every in-flight
         # batch's transient workspaces; unbounded concurrency OOMs on big

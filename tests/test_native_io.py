@@ -91,3 +91,26 @@ def test_bad_file_kinds(tmp_path):
     assert native_io.parse(str(bad), 0)[0] == 0
     assert native_io.parse(str(bad), 1)[0] == 0
     assert native_io.parse(str(tmp_path / "missing.fa"), 0)[0] == 0
+
+
+def test_parse_slice_matches_full(tmp_path):
+    """Record-slice parsing (multi-host read sharding): slices concatenate
+    to the full parse, the count-only pass holds no bytes, and the
+    fastx.parse_reads_slice wrapper agrees (native or fallback)."""
+    path, want = _random_fastq(tmp_path, 9)
+    res = native_io.parse_slice(path, 0, 0, 0)
+    if res is not None:                       # count-only native pass
+        kind, records, total = res
+        assert (kind, records, total) == (2, [], len(want))
+        k2, mid, t2 = native_io.parse_slice(path, 0, 2, 5)
+        assert (k2, t2) == (2, len(want))
+        assert mid == want[2:5]
+    sr, total = fastx.parse_reads_slice(path, 1, 4)
+    assert total == len(want)
+    assert sr.is_fastq and sr.records == want[1:4]
+    # Slices tile the file exactly.
+    parts = []
+    for lo in range(0, total, 3):
+        s, _ = fastx.parse_reads_slice(path, lo, min(lo + 3, total))
+        parts.extend(s.records)
+    assert parts == want
