@@ -244,7 +244,7 @@ def main(argv: Optional[List[str]] = None,
     total_reads = None
     if stream_mode:
         try:
-            stream = fastx.stream_reads(file2)
+            stream = fastx.stream_reads_native(file2)
         except (OSError, fastx.FormatError):
             print("Given file is not in FASTA or FASTQ format! ", file=err)
             return 1

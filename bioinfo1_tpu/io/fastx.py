@@ -239,6 +239,36 @@ class ReadStream:
     batches: Iterator[List[Record]]
 
 
+def stream_reads_native(path: str,
+                        batch_records: int = 16384) -> ReadStream:
+    """Constant-memory streaming over the NATIVE parser: one count-only
+    C++ pass sizes the stream, then each batch is a record-slice parse
+    (the C++ scan re-reads the file per slice at ~GB/s, which is far
+    cheaper than pushing every byte through the Python line iterator -
+    profiling showed the pure-Python stream dominating the CLI's map
+    stage 3:1 on a 225 MB FASTQ).  Falls back to the Python stream_reads
+    when the native library is unavailable."""
+    try:
+        from bioinfo1_tpu.io import native_io
+        res = native_io.parse_slice(path, 0, 0, 0)
+    except Exception:
+        res = None
+    if res is None:
+        return stream_reads(path)
+    kind, _, total = res
+    if kind == 0:
+        raise FormatError("Given file is not in FASTA or FASTQ format!")
+
+    def batches() -> Iterator[List[Record]]:
+        from bioinfo1_tpu.io import native_io
+        for lo in range(0, total, batch_records):
+            _, records, _ = native_io.parse_slice(
+                path, kind, lo, min(lo + batch_records, total))
+            yield records
+
+    return ReadStream(is_fastq=kind == 2, batches=batches())
+
+
 def stream_reads(path: str, chunk_bases: int = 1 << 30) -> ReadStream:
     """Iterate (name, seq) record batches of ~chunk_bases total sequence
     without materializing the whole file.  Format is sniffed from the first

@@ -111,21 +111,40 @@ def _pow2_at_least(x: int, floor: int = 8) -> int:
     return v
 
 
+def _bucket_cap(ln: int, floor: int = 16) -> int:
+    """Canonical length-bucket cap: powers of two interleaved with
+    3/4-points (…, 1024, 1536, 2048, 3072, 4096, 6144, 8192, …) above 512.
+
+    The wavefront cost is linear in the PADDED length, so pure pow-2
+    buckets waste up to 2x on uniformly distributed read lengths (a
+    4.1 kb read sweeping an 8.2 kb pad); the 1.5-step ladder caps the
+    waste at 1.5x for ~1.5x the jit keys.  3/4 of a pow-2 >= 512 is a
+    multiple of 128, so every Pallas lane-alignment constraint still
+    holds."""
+    p = _pow2_at_least(max(ln, floor), 16)
+    if p >= 512 and 3 * p // 4 >= ln:
+        return 3 * p // 4
+    return p
+
+
 def _pack_reads(seqs: Sequence[str], min_len: int,
                 canonical: bool = True,
-                min_batch: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+                min_batch: int = 8,
+                len_to: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Pack strings into a right-padded uint8 batch.
 
-    ``canonical`` rounds both dims up to powers of two so jit specializations
-    recur across batches (and across runs, via the persistent compile cache)
-    instead of exploding one compile per data-dependent shape.
-    ``min_batch`` raises the batch floor (a pow-2 mesh size always divides
-    the padded batch).
+    ``canonical`` rounds both dims up to canonical sizes so jit
+    specializations recur across batches (and across runs, via the
+    persistent compile cache) instead of exploding one compile per
+    data-dependent shape.  ``min_batch`` raises the batch floor (a pow-2
+    mesh size always divides the padded batch).  ``len_to`` pins the
+    length dim to the caller's bucket cap (the 1.5-step _bucket_cap
+    ladder) instead of the pow-2 round-up.
     """
     L = max(max((len(s) for s in seqs), default=1), min_len)
     B = len(seqs)
     if canonical:
-        L = _pow2_at_least(L, 16)
+        L = max(L, len_to) if len_to >= L else _pow2_at_least(L, 16)
         B = _pow2_at_least(B, min_batch)
     arr = np.zeros((B, L), dtype=np.uint8)
     lens = np.zeros((B,), dtype=np.int32)
@@ -145,9 +164,32 @@ def _bucket_indices(lengths: Sequence[int], growth: float,
     """
     buckets_by_cap: dict = {}
     for i, ln in enumerate(lengths):
-        cap = _pow2_at_least(max(ln, floor), 16)
+        cap = _bucket_cap(ln, floor)
         buckets_by_cap.setdefault(cap, []).append(i)
     return [buckets_by_cap[c] for c in sorted(buckets_by_cap)]
+
+
+def _needed_band_arr(ql, tl, score, match: int, mismatch: int, gap: int,
+                     mode: int, strict: bool):
+    """Per-read minimal band W certifying the banded result, solved from
+    ops/pallas_band.certify's bounds (strict adds the one-point margin the
+    traceback guarantee needs).  None when no finite band certifies
+    (global with gap >= 0)."""
+    maxsub = max(match, mismatch, 0)
+    diff = tl - ql
+    eps = 1 if strict else 0
+    if mode == 0:
+        if gap >= 0:
+            return None
+        need2 = (-(-(maxsub * np.minimum(ql, tl) - score + eps) // (-gap))
+                 + np.abs(diff))
+        return need2 // 2 + 2
+    if maxsub <= 0:
+        return np.zeros_like(ql)
+    F = (score - eps) // maxsub
+    w1 = np.where(ql <= F, 0, tl + 1 - F)
+    w2 = np.where(tl <= F, 0, ql + 1 - F)
+    return np.maximum(np.maximum(w1, w2), 0)
 
 
 def _chains_for_strand(mres, idx_strand, budget: int):
@@ -356,6 +398,7 @@ class Mapper:
         self.counters = MapperCounters()
         self._counters_lock = threading.Lock()   # map_batch runs on worker
         self._band_by_key: dict = {}     # (cap, for_cigar) -> band
+        self._load_band_cache()
         self._device_index = None
         self._mesh = None
         self._mesh_resolved = False
@@ -414,6 +457,60 @@ class Mapper:
             self._sharded_steps[key] = fn
         return self._sharded_steps[key]
 
+    def _band_cache_path(self):
+        """Adaptive-band persistence (perf-only state, like the jit cache):
+        a fresh process otherwise re-learns every bucket's band by paying
+        full-width fallback passes first.  Keyed by the scoring/mode config
+        the bands depend on.  BIOINFO1_BAND_CACHE overrides the location
+        ('0' disables)."""
+        import os
+        import tempfile
+        env = os.environ.get("BIOINFO1_BAND_CACHE")
+        if env in ("0", "false"):
+            return None, None
+        path = env or os.path.join(tempfile.gettempdir(),
+                                   "bioinfo1_tpu_bands.json")
+        cfg = self.cfg
+        key = (f"{cfg.align_type},{cfg.match},{cfg.mismatch},{cfg.gap},"
+               f"{cfg.k},{cfg.w}")
+        return path, key
+
+    def _load_band_cache(self) -> None:
+        import json
+        import os
+        path, key = self._band_cache_path()
+        if not path or not os.path.exists(path):
+            return
+        try:
+            with open(path) as fh:
+                d = json.load(fh).get(key, {})
+            for k, v in d.items():
+                cap_s, fc_s = k.split(",")
+                self._band_by_key[(int(cap_s), fc_s == "1")] = int(v)
+        except Exception:
+            pass
+
+    def _save_band_cache(self) -> None:
+        import json
+        import os
+        path, key = self._band_cache_path()
+        if not path or not self._band_by_key:
+            return
+        try:
+            d = {}
+            if os.path.exists(path):
+                with open(path) as fh:
+                    d = json.load(fh)
+            d.setdefault(key, {})
+            for (cap, fc), band in self._band_by_key.items():
+                d[key][f"{cap},{1 if fc else 0}"] = band
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(d, fh)
+            os.replace(tmp, path)
+        except Exception:
+            pass
+
     def _bucket_band(self, cap: int, for_cigar: bool) -> int:
         """Current band for a length bucket (adaptive; see _adapt_band)."""
         key = (cap, for_cigar)
@@ -466,14 +563,13 @@ class Mapper:
                      + cfg.gap * (2 * (W - 1) - np.abs(diff)))
             cert = ((diff >= -W) & (diff <= W - 2)
                     & (whole | (score >= bound)))
-            # One uncertified read forces the whole batch through the in-jit
-            # full pass, so size the band for the WORST mapped read: solve
+            # Per-read minimal certifying band: solve
             # 2*(W-1) >= (maxsub*min - score)/(-gap) + |diff|.
             need2 = np.where(
                 mapped,
                 -(-(maxsub * np.minimum(ql, tl) - score) // (-cfg.gap))
                 + np.abs(diff), 0)
-            w_need = int(need2.max()) // 2 + 2
+            w_need_arr = need2 // 2 + 2
         else:
             bound = maxsub * np.clip(
                 np.maximum(np.minimum(ql, tl - (W - 1)),
@@ -481,7 +577,7 @@ class Mapper:
             cert = whole | (score >= bound)
             if maxsub <= 0:
                 cert = whole | (score >= 0)
-                w_need = 0
+                w_need_arr = np.zeros_like(ql)
             else:
                 # Solve min(ql, tl-W+1) <= F and min(tl, ql-W+1) <= F for
                 # F = floor(score/maxsub): each term is satisfied outright
@@ -489,15 +585,23 @@ class Mapper:
                 F = score // maxsub
                 w1 = np.where(ql <= F, 0, tl + 1 - F)
                 w2 = np.where(tl <= F, 0, ql + 1 - F)
-                w_need = int(np.where(mapped, np.maximum(w1, w2), 0).max())
+                w_need_arr = np.where(mapped, np.maximum(w1, w2), 0)
         with self._counters_lock:
             self.counters.cert_total += n_mapped
             self.counters.cert_hits += int((mapped & cert).sum())
         if not bool((mapped & ~cert).any()):
             return
-        new = -(-max(w_need, band) // 128) * 128
-        # Banding only wins while W < cap (the full kernel runs cap lanes).
-        self._band_by_key[(cap, False)] = new if new <= cap // 2 else 0
+        # Size the band for the 99th-PERCENTILE mapped read, not the worst:
+        # one chimera-like outlier would otherwise inflate - or, worse,
+        # permanently disable - the whole bucket's band, turning every later
+        # batch into a full-width pass (measured 3x on a 25k-read run).  The
+        # outlier's own batch pays the in-jit full pass either way.  Clamp
+        # to cap/2: beyond that banding cannot win, but outlier-free batches
+        # still certify, so never drop the band back to 0.
+        w99 = float(np.percentile(w_need_arr[mapped], 99))
+        new = -(-int(max(w99, band)) // 128) * 128
+        max_band = max(128, (cap // 2 // 128) * 128)
+        self._band_by_key[(cap, False)] = min(new, max_band)
 
     def _map_bucket_fused(
             self, seqs: Sequence[str], budget: int
@@ -512,7 +616,10 @@ class Mapper:
         cfg = self.cfg
         mesh = self._get_mesh()
         arr, lens = _pack_reads(seqs, cfg.k + cfg.w - 1,
-                                min_batch=mesh.size if mesh else 8)
+                                min_batch=mesh.size if mesh else 8,
+                                len_to=_bucket_cap(
+                                    max(len(s) for s in seqs),
+                                    cfg.k + cfg.w - 1))
         cap = arr.shape[1]
         region_cap = _pow2_at_least(2 * cap, 128)
         use_pallas = jax.default_backend() == "tpu"
@@ -555,11 +662,27 @@ class Mapper:
                 miss = out.mapped[:n_real] & ~cig.certified[:n_real]
                 if miss.any() and band * 2 <= max_band:
                     band = band * 2
-                    self._band_by_key[(cap, True)] = band
                     with self._counters_lock:
                         self.counters.band_retries += int(miss.sum())
                     continue
                 break
+            # Persist a 99th-percentile band for FUTURE batches: the ladder
+            # may have widened for one outlier read, and pinning the bucket
+            # at that width would inflate every later batch's parent
+            # stream; outlier batches rerun the ladder instead.
+            ok = out.mapped[:n_real] & cig.certified[:n_real]
+            if ok.any():
+                need = _needed_band_arr(
+                    cig.q_len[:n_real], cig.t_len[:n_real],
+                    out.score[:n_real], cfg.match, cfg.mismatch, cfg.gap,
+                    mode, strict=True)
+                if need is None:
+                    persist = band
+                else:
+                    w99 = float(np.percentile(need[ok], 99))
+                    persist = -(-int(max(w99, 256)) // 128) * 128
+                self._band_by_key[(cap, True)] = min(max(persist, 256),
+                                                     max_band)
         else:
             band = self._bucket_band(cap, False)
             out = run(band)
@@ -645,7 +768,7 @@ class Mapper:
                     # step whenever a batch's longest read crossed a pow-2
                     # boundary).
                     max_len = max(len(s) for s in sub)
-                    cap = _pow2_at_least(max(max_len, cfg.k + cfg.w - 1), 16)
+                    cap = _bucket_cap(max_len, cfg.k + cfg.w - 1)
                     b_budget = _pow2_at_least(max(budget, cap // 2), 8)
                     b_budget *= 1 << (attempts - 1)
                     # Per-batch fault isolation (VERDICT r02 item 8; the
@@ -841,7 +964,7 @@ class Mapper:
         try:
             for idx in range(start_at, len(records)):
                 name, seq = records[idx]
-                cap = _pow2_at_least(max(len(seq), floor), 16)
+                cap = _bucket_cap(len(seq), floor)
                 queues.setdefault(cap, []).append((idx, name, seq))
                 n_queued += 1
                 lines: List[str] = []
@@ -868,6 +991,7 @@ class Mapper:
                 yield emitted, lines
         finally:
             executor.shutdown(wait=True)
+            self._save_band_cache()
 
     def map_records(self, records: Sequence[Tuple[str, str]],
                     per_read_stats: bool = False) -> List[str]:

@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The adaptive-band cache is perf-only cross-run state; tests assert on
+# adaptation behavior (band retries, growth) and must start cold.
+os.environ["BIOINFO1_BAND_CACHE"] = "0"
+
 import jax  # noqa: E402
 
 # The env var alone is NOT enough in this environment: the axon TPU plugin

@@ -228,7 +228,10 @@ def test_band_ladder_grows_on_big_indel(problem):
     lines = m.map_records(records)
     assert m.counters.band_retries > 0, m.counters.as_dict()
     assert m.counters.host_fallbacks == 0
-    assert max(b for (_, fc), b in m._band_by_key.items() if fc) >= 512
+    # The ladder ran wider for this batch; the PERSISTED band is p99-based
+    # (an outlier must not pin the bucket at the ladder's peak forever) but
+    # still reflects the indel drift: wider than the 256 default.
+    assert max(b for (_, fc), b in m._band_by_key.items() if fc) > 256
     spec = rm.map_all([("ref", genome)], records,
                       rm.MapperParams(k=K, w=W, f=F, output_cigar=True))
     assert lines == spec

@@ -114,3 +114,13 @@ def test_parse_slice_matches_full(tmp_path):
         s, _ = fastx.parse_reads_slice(path, lo, min(lo + 3, total))
         parts.extend(s.records)
     assert parts == want
+
+
+def test_stream_reads_native_matches_python(tmp_path):
+    path, want = _random_fastq(tmp_path, 11)
+    s = fastx.stream_reads_native(path, batch_records=3)
+    got = [r for b in s.batches for r in b]
+    assert s.is_fastq and got == want
+    ps = fastx.stream_reads(path)
+    pgot = [r for b in ps.batches for r in b]
+    assert got == pgot
