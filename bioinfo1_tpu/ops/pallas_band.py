@@ -355,11 +355,19 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
 
     if want_parents:
         # Pack int8 parents to 2-bit, 16 lanes per uint32 word - the layout
-        # utils/cigar.py walks (and align_banded_parents emits).
-        p = par8[:, :B, :].astype(jnp.uint32)
-        p = p.reshape(steps_pad, B, W // 16, 16)
+        # utils/cigar.py walks (and align_banded_parents emits).  Packed in
+        # 128-step chunks via lax.map: a whole-tensor astype(uint32) was a
+        # 4x transient (4+ GB at 512x4kb batches) that stacked with the
+        # resident index and OOMed HBM.
+        CHP = 128                      # divides steps_pad (rounded to CH)
         shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, None, :]
-        parents = jnp.sum(p << shifts, axis=-1, dtype=jnp.uint32)
+
+        def pack_chunk(p8):            # (CHP, B, W) int8
+            p = p8.astype(jnp.uint32).reshape(CHP, B, W // 16, 16)
+            return jnp.sum(p << shifts, axis=-1, dtype=jnp.uint32)
+
+        p8 = par8[:, :B, :].reshape(steps_pad // CHP, CHP, B, W)
+        parents = jax.lax.map(pack_chunk, p8).reshape(steps_pad, B, W // 16)
     else:
         parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
 

@@ -70,7 +70,7 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
         idx = rows * width + jnp.clip(pos, 0, width - 1)
         return jnp.take(arr.reshape(-1), idx).astype(jnp.int32)
 
-    def step(carry, _):
+    def step_once(carry):
         i, j, cost = carry
         p_in = parent_at(i, j)
         if mode == 1:  # local: stop at cost 0
@@ -94,10 +94,23 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
         j = jnp.where(active, j - dj, j)
         return (i, j, cost), code
 
+    # 4 walk steps per scan iteration: the walk is a serial chain of tiny
+    # gathers, and on TPU the per-iteration loop overhead rivals the gather
+    # itself; unrolling quarters the iteration count (trailing over-steps
+    # past the origin emit OP_DONE and are ignored by the RLE).
+    UNROLL = 4
+    def step(carry, _):
+        codes = []
+        for _k in range(UNROLL):
+            carry, c = step_once(carry)
+            codes.append(c)
+        return carry, jnp.stack(codes)
+
     carry0 = (goal_i.astype(jnp.int32), goal_j.astype(jnp.int32),
               score.astype(jnp.int32))
-    _, codes = jax.lax.scan(step, carry0, None, length=S + 2)
-    return codes
+    n_iter = -(-(S + 2) // UNROLL)
+    _, codes = jax.lax.scan(step, carry0, None, length=n_iter)
+    return codes.reshape(n_iter * UNROLL, -1)
 
 
 @jax.jit

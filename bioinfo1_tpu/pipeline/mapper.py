@@ -910,12 +910,23 @@ class Mapper:
         # HBM pressure bound: the TPU holds the replicated index (~4.4 GB
         # for E. coli at the direct-address directory) plus every in-flight
         # batch's transient workspaces; unbounded concurrency OOMs on big
-        # read buckets.  Cap the PADDED bases dispatched concurrently.
+        # read buckets.  Cap the ESTIMATED transient bytes dispatched
+        # concurrently: ~512 B of workspace per padded base on the score
+        # path (match tables, region windows, wavefront state), plus the
+        # banded int8 parent stream (~3*cap*B*W) under -c.
         import os as _os
-        max_inflight_bases = int(_os.environ.get(
-            "BIOINFO1_INFLIGHT_BASES", 6 * 1024 * 1024))
+        max_inflight_bytes = int(float(_os.environ.get(
+            "BIOINFO1_INFLIGHT_BYTES", 7e9)))
+
+        def _flush_cost(n_entries: int, cap: int) -> int:
+            bpad = _pow2_at_least(n_entries, 8)
+            cost = bpad * cap * 512
+            if cfg.output_cigar:
+                cost += 4 * cap * bpad * self._bucket_band(cap, True)
+            return cost
+
         executor = ThreadPoolExecutor(max_workers=DEPTH)
-        in_flight: list = []            # FIFO [(entries, chunk, fut, bases)]
+        in_flight: list = []            # FIFO [(entries, chunk, fut, cost)]
 
         def complete_oldest():
             entries, chunk, fut, _bases = in_flight.pop(0)
@@ -934,14 +945,14 @@ class Mapper:
             entries = queues.pop(cap)
             n_queued -= len(entries)
             chunk = [(name, seq) for _, name, seq in entries]
-            bases = _pow2_at_least(len(entries), 8) * cap
+            cost = _flush_cost(len(entries), cap)
             while in_flight and (
                     len(in_flight) >= DEPTH
-                    or sum(b for *_x, b in in_flight) + bases
-                    > max_inflight_bases):
+                    or sum(b for *_x, b in in_flight) + cost
+                    > max_inflight_bytes):
                 complete_oldest()
             fut = executor.submit(self.map_batch, [seq for _, seq in chunk])
-            in_flight.append((entries, chunk, fut, bases))
+            in_flight.append((entries, chunk, fut, cost))
 
         def drain():
             nonlocal emitted
