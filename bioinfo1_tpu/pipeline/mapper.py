@@ -413,10 +413,14 @@ class Mapper:
         return not self.cfg.fasta_match_nesting
 
     def _get_device_index(self):
-        if self._device_index is None:
-            from bioinfo1_tpu.pipeline import device_map as dm
-            self._device_index = dm.device_index_from_host(self.index)
-        return self._device_index
+        # Locked: map_batch runs on pipeline worker threads, and two first
+        # batches racing here would build (and upload) the multi-GB device
+        # index twice.
+        with self._counters_lock:
+            if self._device_index is None:
+                from bioinfo1_tpu.pipeline import device_map as dm
+                self._device_index = dm.device_index_from_host(self.index)
+            return self._device_index
 
     def _get_mesh(self):
         """Data-parallel mesh over the local devices (None = single device).
@@ -425,21 +429,27 @@ class Mapper:
         (team_mapper.cpp:596): reads sharded over the mesh, index replicated,
         outputs gathered in input order (deterministic by construction).
         """
-        if not self._mesh_resolved:
-            from bioinfo1_tpu.parallel import shard as ps
-            self._mesh = (None if self.cfg.devices == 1
-                          else ps.auto_mesh(self.cfg.devices))
-            self._mesh_resolved = True
-        return self._mesh
+        with self._counters_lock:
+            if not self._mesh_resolved:
+                from bioinfo1_tpu.parallel import shard as ps
+                self._mesh = (None if self.cfg.devices == 1
+                              else ps.auto_mesh(self.cfg.devices))
+                self._mesh_resolved = True
+            return self._mesh
 
     def _get_replicated_index(self, mesh):
-        if self._replicated_index is None:
-            from bioinfo1_tpu.parallel import shard as ps
-            self._replicated_index = ps.replicate_index(
-                self._get_device_index(), mesh)
-        return self._replicated_index
+        didx = self._get_device_index()
+        with self._counters_lock:
+            if self._replicated_index is None:
+                from bioinfo1_tpu.parallel import shard as ps
+                self._replicated_index = ps.replicate_index(didx, mesh)
+            return self._replicated_index
 
     def _get_sharded_step(self, mesh, key):
+        with self._counters_lock:
+            return self._get_sharded_step_locked(mesh, key)
+
+    def _get_sharded_step_locked(self, mesh, key):
         if key not in self._sharded_steps:
             from bioinfo1_tpu.parallel import shard as ps
             if key[0] == "cigar":
