@@ -100,9 +100,8 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
     ndense = max(nk_max - w + 1, 0)
 
     prefix_h, prefix_p = [], []   # windows of k-mers [0, s-1], s = 1..w-1
-    suffix_h, suffix_p = [], []   # windows of k-mers [NK-s, NK-1]
+    suffix_lh, suffix_lp = [], []  # ladder LEVELS for the suffix windows
     wh, wp = h, pos               # window minima ladder, current size s
-    row = jnp.arange(B)
     for s in range(1, w + 1):
         if s > 1:
             wh, wp = _combine(wh[:, : nk_max - s + 1], wp[:, : nk_max - s + 1],
@@ -122,10 +121,21 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
                 prefix_h.append(wh[:, 0])
                 prefix_p.append(wp[:, 0])
             # Suffix end-window of size s anchors at start nk - s (dynamic
-            # per read); emitted only when nk >= s (mask applied below).
-            idx = jnp.clip(nk - s, 0, max(nk_max - s, 0))
-            suffix_h.append(wh[row, idx])
-            suffix_p.append(wp[row, idx])
+            # per read).  Stash the ladder level; all w-1 suffix picks fuse
+            # into ONE take_along_axis below (2(w-1) element-serial (B,)
+            # gathers were a measurable slice of the minimize stage).
+            suffix_lh.append(jnp.pad(wh, ((0, 0), (0, s - 1)),
+                                     constant_values=INVALID_HASH))
+            suffix_lp.append(jnp.pad(wp, ((0, 0), (0, s - 1)),
+                                     constant_values=INVALID_POS))
+    if w > 1:
+        lvl_h = jnp.stack(suffix_lh, axis=1)          # (B, w-1, nk_max)
+        lvl_p = jnp.stack(suffix_lp, axis=1)
+        s_all = jnp.arange(1, w, dtype=jnp.int32)[None, :]
+        idx_all = jnp.clip(nk[:, None] - s_all, 0,
+                           jnp.maximum(nk_max - s_all, 0))[:, :, None]
+        suffix_h = jnp.take_along_axis(lvl_h, idx_all, axis=2)[:, :, 0]
+        suffix_p = jnp.take_along_axis(lvl_p, idx_all, axis=2)[:, :, 0]
 
     parts_h, parts_p, parts_v = [], [], []
     if w > 1:
@@ -144,14 +154,12 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
         parts_p.append(dense_p)
         parts_v.append(dense_v)
     if w > 1:
-        suf_h = jnp.stack(suffix_h, axis=1)
-        suf_p = jnp.stack(suffix_p, axis=1)
         # Suffix window of size s is emitted iff L >= k + s - 1, i.e. nk >= s
         # (team_minimizers.cpp:198 guard).
         s_idx = jnp.arange(1, w, dtype=jnp.int32)[None, :]
         suf_v = nk[:, None] >= s_idx
-        parts_h.append(suf_h)
-        parts_p.append(suf_p)
+        parts_h.append(suffix_h)
+        parts_p.append(suffix_p)
         parts_v.append(suf_v)
 
     hashes = jnp.concatenate(parts_h, axis=1)
