@@ -244,7 +244,11 @@ def main(argv: Optional[List[str]] = None,
     total_reads = None
     if stream_mode:
         try:
-            stream = fastx.stream_reads_native(file2)
+            # Single-pass chunked Python stream: O(file) time, O(chunk)
+            # memory.  (The native slice-based stream re-parses the whole
+            # file per batch - right shape for the multi-host count+slice
+            # pattern, wrong one for whole-file streaming.)
+            stream = fastx.stream_reads(file2)
         except (OSError, fastx.FormatError):
             print("Given file is not in FASTA or FASTQ format! ", file=err)
             return 1

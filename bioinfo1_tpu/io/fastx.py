@@ -241,13 +241,15 @@ class ReadStream:
 
 def stream_reads_native(path: str,
                         batch_records: int = 16384) -> ReadStream:
-    """Constant-memory streaming over the NATIVE parser: one count-only
-    C++ pass sizes the stream, then each batch is a record-slice parse
-    (the C++ scan re-reads the file per slice at ~GB/s, which is far
-    cheaper than pushing every byte through the Python line iterator -
-    profiling showed the pure-Python stream dominating the CLI's map
-    stage 3:1 on a 225 MB FASTQ).  Falls back to the Python stream_reads
-    when the native library is unavailable."""
+    """Record-sliced streaming over the NATIVE parser: one count-only C++
+    pass sizes the stream, then each batch is a record-slice parse.
+
+    CAUTION: every slice re-reads (and re-gunzips) the whole file, so
+    total work is O(file * n_batches) - the right shape for the multi-host
+    pattern (one count pass + ONE slice per process) but NOT for
+    whole-file streaming, where the single-pass Python ``stream_reads``
+    is strictly better.  Falls back to stream_reads when the native
+    library is unavailable."""
     try:
         from bioinfo1_tpu.io import native_io
         res = native_io.parse_slice(path, 0, 0, 0)

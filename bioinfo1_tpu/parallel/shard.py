@@ -163,7 +163,7 @@ def _merge_endpoint():
     return host or "127.0.0.1", (int(port) if port else 9400) + 17
 
 
-def _p2p_gather_blobs(blob: bytes, timeout_s: float = 600.0):
+def _p2p_gather_blobs(blob: bytes, timeout_s: float = 0.0):
     """Point-to-point gather of one byte blob per process TO process 0.
 
     Pod-shaped (VERDICT r02 item 4): the r02 implementation allgathered the
@@ -173,10 +173,17 @@ def _p2p_gather_blobs(blob: bytes, timeout_s: float = 600.0):
     received only where the output is written.  Returns [blob_p0, ...,
     blob_{P-1}] on process 0, None elsewhere.
     """
+    import os
     import socket
     import struct
     p, n = jax.process_index(), jax.process_count()
     host, port = _merge_endpoint()
+    if not timeout_s:
+        # Processes reach the merge whenever their own map stage ends;
+        # shard-skew between hosts is workload-dependent (retry ladders,
+        # host fallbacks), so the window must scale way past any expected
+        # skew rather than a fixed few minutes.
+        timeout_s = float(os.environ.get("BIOINFO1_MERGE_TIMEOUT", 21600))
     if p == 0:
         blobs = {0: blob}
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

@@ -560,42 +560,19 @@ class Mapper:
         ql = np.minimum(out.q_end - out.q_begin + 1, cap)[:n_real]
         tl = np.minimum(out.t_end - out.t_begin + 1,
                         _pow2_at_least(2 * cap, 128))[:n_real]
-        diff = tl - ql
         score = out.score[:n_real]
         mapped = out.mapped[:n_real]
         n_mapped = int(mapped.sum())
         if not n_mapped:
             return
-        maxsub = max(cfg.match, cfg.mismatch, 0)
+        w_need_arr = _needed_band_arr(ql, tl, score, cfg.match, cfg.mismatch,
+                                      cfg.gap, mode, strict=False)
         whole = (ql <= W) & (tl <= W - 2)
-        if mode == 0:
-            bound = (maxsub * np.minimum(ql, tl)
-                     + cfg.gap * (2 * (W - 1) - np.abs(diff)))
-            cert = ((diff >= -W) & (diff <= W - 2)
-                    & (whole | (score >= bound)))
-            # Per-read minimal certifying band: solve
-            # 2*(W-1) >= (maxsub*min - score)/(-gap) + |diff|.
-            need2 = np.where(
-                mapped,
-                -(-(maxsub * np.minimum(ql, tl) - score) // (-cfg.gap))
-                + np.abs(diff), 0)
-            w_need_arr = need2 // 2 + 2
-        else:
-            bound = maxsub * np.clip(
-                np.maximum(np.minimum(ql, tl - (W - 1)),
-                           np.minimum(tl, ql - (W - 1))), 0, None)
-            cert = whole | (score >= bound)
-            if maxsub <= 0:
-                cert = whole | (score >= 0)
-                w_need_arr = np.zeros_like(ql)
-            else:
-                # Solve min(ql, tl-W+1) <= F and min(tl, ql-W+1) <= F for
-                # F = floor(score/maxsub): each term is satisfied outright
-                # when its len <= F, else needs W >= other_len + 1 - F.
-                F = score // maxsub
-                w1 = np.where(ql <= F, 0, tl + 1 - F)
-                w2 = np.where(tl <= F, 0, ql + 1 - F)
-                w_need_arr = np.where(mapped, np.maximum(w1, w2), 0)
+        # A read certifies at the current W iff its needed band <= W (the
+        # same solve ops/pallas_band.certify performs, inverted) or the
+        # band covers its whole matrix.
+        cert = whole | (w_need_arr <= W)
+        w_need_arr = np.where(mapped, w_need_arr, 0)
         with self._counters_lock:
             self.counters.cert_total += n_mapped
             self.counters.cert_hits += int((mapped & cert).sum())
@@ -744,12 +721,16 @@ class Mapper:
         results: List[ReadMapping] = [None] * len(seqs)  # type: ignore
         pending = list(range(len(seqs)))
         force_host: set = set()     # banded-certificate misses (fused -c)
+        oom_retry: set = set()      # transient-OOM reruns: SAME budget
+        mult: dict = {}             # per-read budget multiplier (overflow)
         budget = cfg.initial_match_budget
         attempts = 0
         while pending:
             # Regions longer than the fused step's cap (chains spanning far
             # more target than query) never resolve by budget doubling;
-            # after two fused rounds the stragglers take the host path.
+            # after two fused rounds the stragglers take the host path
+            # (OOM-only reruns stay fused - the host path's full-matrix
+            # tensors are LARGER than what just failed to fit).
             if attempts >= 2:
                 fused = False
             attempts += 1
@@ -760,7 +741,8 @@ class Mapper:
             for bucket in buckets:
                 idxs = [pending[j] for j in bucket]
                 fused_set = {i for i in idxs
-                             if fused and i not in force_host}
+                             if (fused or i in oom_retry)
+                             and i not in force_host}
                 fused_idx = [i for i in idxs if i in fused_set]
                 host_idx = [i for i in idxs if i not in fused_set]
                 for sub_idxs, on_device in ((fused_idx, True),
@@ -771,16 +753,16 @@ class Mapper:
                     # Budget scales with the bucket's CAP (a read has
                     # ~2L/(w+1) minimizers, typically ~1 hit each), so long
                     # reads don't start at a budget they are guaranteed to
-                    # overflow; retries keep doubling from there.  Derived
-                    # from the pow-2 cap - NOT the batch's max read length -
-                    # so the jit key is stable across batches of the same
-                    # bucket (a data-dependent budget recompiled the fused
-                    # step whenever a batch's longest read crossed a pow-2
-                    # boundary).
+                    # overflow; match-budget overflows retry at the read's
+                    # doubled multiplier, while OOM reruns keep the SAME
+                    # budget (doubling what just exhausted HBM could only
+                    # fail harder).  Derived from the canonical cap - NOT
+                    # the batch's max read length - so the jit key is
+                    # stable across batches of the same bucket.
                     max_len = max(len(s) for s in sub)
                     cap = _bucket_cap(max_len, cfg.k + cfg.w - 1)
                     b_budget = _pow2_at_least(max(budget, cap // 2), 8)
-                    b_budget *= 1 << (attempts - 1)
+                    b_budget *= max(mult.get(i, 1) for i in sub_idxs)
                     # Per-batch fault isolation (VERDICT r02 item 8; the
                     # reference's analog catches a per-read Align throw,
                     # logs, and continues - team_mapper.cpp:663-683).  An
@@ -803,11 +785,14 @@ class Mapper:
                               file=sys.stderr)
                         if on_device:
                             # Transient HBM exhaustion (concurrent batches
-                            # in flight): retry FUSED after the pressure
-                            # drains before surrendering to the
-                            # (bigger-tensor) full-matrix host path.
-                            if ("RESOURCE_EXHAUSTED" not in str(e)
-                                    or attempts >= 2):
+                            # in flight): retry FUSED at the SAME budget
+                            # after the pressure drains; only give up to
+                            # the host path after several attempts or on a
+                            # non-OOM failure.
+                            if ("RESOURCE_EXHAUSTED" in str(e)
+                                    and attempts < 6):
+                                oom_retry.update(sub_idxs)
+                            else:
                                 force_host.update(sub_idxs)
                             next_pending.extend(sub_idxs)
                         else:
@@ -822,11 +807,13 @@ class Mapper:
                         self.counters.host_fallbacks += len(host_s)
                     for loc, i in enumerate(sub_idxs):
                         if loc in retry_s:
+                            mult[i] = mult.get(i, 1) * 2
                             next_pending.append(i)
                         elif loc in host_s:
                             force_host.add(i)
                             next_pending.append(i)
                         else:
+                            oom_retry.discard(i)
                             results[i] = res[loc]
             pending = next_pending
             if attempts >= 24:  # safety: ~16M matches per read
@@ -976,12 +963,17 @@ class Mapper:
         # Pressure valve (ADVICE r02): a bucket that never reaches
         # flush_size would otherwise pin `emitted` forever, buffering every
         # later record's lines in `results` and freezing checkpoint
-        # progress.  When the in-flight total (queued + completed-but-
-        # unemitted) crosses the bound, flush the bucket holding the OLDEST
-        # queued record - after a drain that record is exactly `emitted`, so
-        # each valve flush (run synchronously) provably advances the
-        # checkpoint.
-        pressure = 4 * flush_size
+        # progress.  Keyed on STALENESS of the oldest queued record (how
+        # many records arrived after it), not on total occupancy: with many
+        # active length buckets the steady-state occupancy alone exceeds
+        # any small bound, and an occupancy-keyed valve would fire on every
+        # record - serializing the pipeline and flushing undersized batches
+        # (a code-review finding).  A large occupancy hard-cap stays as the
+        # memory backstop.  Each valve flush targets the bucket holding the
+        # oldest record and completes synchronously, so it provably
+        # advances the checkpoint.
+        stale_window = 16 * flush_size
+        hard_cap = 64 * flush_size
         try:
             for idx in range(start_at, len(records)):
                 name, seq = records[idx]
@@ -996,8 +988,11 @@ class Mapper:
                     # queued + completed-but-unemitted + dispatched-in-flight
                     return (n_queued + len(results)
                             + sum(len(e) for e, *_rest in in_flight))
-                while queues and limbo() > pressure:
+                while queues:
                     oldest = min(queues, key=lambda c: queues[c][0][0])
+                    if (idx - queues[oldest][0][0] < stale_window
+                            and limbo() < hard_cap):
+                        break
                     flush(oldest)
                     complete_in_flight()
                     lines.extend(drain())

@@ -239,14 +239,15 @@ def test_band_ladder_grows_on_big_indel(problem):
 
 def test_pressure_valve_advances_checkpoint(problem):
     """A lone record in a bucket that never fills must not pin the
-    checkpoint: the pressure valve flushes the stale bucket so `emitted`
-    advances before end-of-input (ADVICE r02), and output is unchanged."""
+    checkpoint: once it goes STALE (16 flushes' worth of records arrive
+    after it), the valve flushes its bucket so `emitted` advances before
+    end-of-input (ADVICE r02), and output is unchanged."""
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
     genome, index, didx, reads, arr, lens = problem
     rng = random.Random(7)
     lone = genome[5000:5080]                      # its own length bucket
     records = [("lone", lone)]
-    for i in range(48):
+    for i in range(160):                          # > 16 * flush_size(8)
         start = rng.randrange(0, len(genome) - 500)
         records.append((f"r{i}", genome[start:start + 500]))
     cfg = MapperConfig(k=K, w=W, f=F, batch_size=8)
