@@ -36,8 +36,10 @@ def main():
     m, n, g = jnp.int32(1), jnp.int32(-1), jnp.int32(-1)
 
     def upto(stage):
+        # didx is passed as a pytree ARG, not closed over: a closure would
+        # embed the multi-GB index as captured constants at lowering.
         @jax.jit
-        def f(r, l):
+        def f(r, l, dx):
             mres = mz.minimize_batch(r, l, K, W)
             if stage == "minimize":
                 return jnp.sum(mres.hashes) + jnp.sum(mres.dedup_keep)
@@ -47,9 +49,9 @@ def main():
             if stage == "compact":
                 return jnp.sum(q_hash) + jnp.sum(q_keep)
             got_f, got_r = match_ops.find_matches_combined(
-                q_hash, q_pos, q_keep, didx.key_hash, didx.key_pos,
-                didx.cnt_fr, didx.cnt_r2, didx.bucket_off, didx.shift,
-                didx.bsearch_steps, BUDGET, didx.cnt_shift)
+                q_hash, q_pos, q_keep, dx.key_hash, dx.key_pos,
+                dx.cnt_fr, dx.cnt_r2, dx.bucket_off, dx.shift,
+                dx.bsearch_steps, BUDGET, dx.cnt_shift)
             if stage == "match":
                 return (jnp.sum(got_f.r_pos) + jnp.sum(got_r.r_pos)
                         + jnp.sum(got_f.count) + jnp.sum(got_r.count))
@@ -62,7 +64,7 @@ def main():
                 return jnp.sum(both.length) + jnp.sum(both.q_start)
             return jnp.sum(both.length)
 
-        return f
+        return lambda r, l: f(r, l, didx)
 
     def full(r, l):
         o = dm.map_step(r, l, didx, m, n, g, k=K, w=W, mode=0,
