@@ -74,7 +74,7 @@ def main():
                   f"({r['reads_per_s']:.1f} reads/s)", flush=True)
     t1 = results[1]["map_s"]
     payload = {
-        "workload": "192 x 1kb ONT-like reads vs 200kb synthetic genome, "
+        "workload": "4096 x 1kb ONT-like reads vs 200kb synthetic genome, "
                     "k=15 w=5 f=0.001, product path (Mapper + PAF gather)",
         "method": "strong scaling, one process per simulated host, each "
                   "pinned to one physical core with one single-threaded "

@@ -42,10 +42,10 @@ def main():
     # Deterministic synthetic workload (shared by every process).
     rng = np.random.default_rng(42)
     genome = "".join("CATG"[i] for i in rng.integers(0, 4, 200_000))
-    # 256 = 4x64-read batches at nproc=1, 2x64 per process at nproc=2 (and
+    # 4096 reads = dozens of 64-read batches per process at every pow-2 (and
     # so on for pow-2 nproc): every batch shares ONE canonical jit shape, so
     # the warm-up covers everything and no compile lands in the timed region.
-    n_reads, read_len = 256, 1000
+    n_reads, read_len = 4096, 1000
     records = []
     for r in range(n_reads):
         start = int(rng.integers(0, len(genome) - read_len))
