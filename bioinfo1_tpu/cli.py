@@ -63,6 +63,35 @@ def _json_dumps(d: dict) -> str:
     return json.dumps(d)
 
 
+def _write_progress(path: str, completed: int, total, part_bytes) -> None:
+    """Atomic checkpoint write: completed read count plus the output file's
+    byte offset at that point (the resume path truncates to it)."""
+    import json as _json
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"completed_reads": completed, "total_reads": total,
+                    "part_bytes": part_bytes}, fh)
+    os.replace(tmp, path)
+
+
+def _resume_state(progress_path: str, part_path: str):
+    """(start_at, "a") for --resume.  Output lines are flushed BEFORE the
+    progress file updates, so a crash in that window leaves lines beyond
+    completed_reads in the output file; appending blindly would duplicate
+    those reads' rows (or keep a torn partial line).  Truncate the file to
+    the byte offset the progress file recorded (ADVICE r03).  Progress files
+    from older runs without the offset fall back to append-as-is."""
+    import json as _json
+    with open(progress_path) as fh:
+        d = _json.load(fh)
+    start_at = int(d.get("completed_reads", 0))
+    pb = d.get("part_bytes")
+    if pb is not None:
+        with open(part_path, "r+") as fh:
+            fh.truncate(int(pb))
+    return start_at, "a"
+
+
 def _atof(s: str) -> float:
     """std::atof semantics: parse the longest leading float, 0.0 on failure
     (the reference parses -f with atof at team_mapper.cpp:374)."""
@@ -316,9 +345,7 @@ def main(argv: Optional[List[str]] = None,
             fmode = "w"
             if (resume and os.path.exists(progress_path)
                     and os.path.exists(part_path)):
-                with open(progress_path) as fh:
-                    start_at = int(_json.load(fh).get("completed_reads", 0))
-                fmode = "a"
+                start_at, fmode = _resume_state(progress_path, part_path)
             with timers.stage("map"), open(part_path, fmode) as pf:
                 for done, lines in mapper.map_records_iter(
                         local_records, per_read_stats=per_read_stats,
@@ -326,9 +353,8 @@ def main(argv: Optional[List[str]] = None,
                     for line in lines:
                         print(line, file=pf)
                     pf.flush()
-                    with open(progress_path, "w") as fh:
-                        _json.dump({"completed_reads": done,
-                                    "total_reads": len(local_records)}, fh)
+                    _write_progress(progress_path, done,
+                                    len(local_records), pf.tell())
             with open(part_path) as pf:
                 local_lines = pf.read().splitlines()
             with timers.stage("merge"):
@@ -373,9 +399,7 @@ def main(argv: Optional[List[str]] = None,
     start_at = 0
     file_mode = "w"
     if resume and os.path.exists(progress_path) and os.path.exists(out_path):
-        with open(progress_path) as fh:
-            start_at = int(_json.load(fh).get("completed_reads", 0))
-        file_mode = "a"
+        start_at, file_mode = _resume_state(progress_path, out_path)
 
     if stream_mode:
         # Constant memory: record batches stream off disk, map, append,
@@ -392,12 +416,11 @@ def main(argv: Optional[List[str]] = None,
                     for line in lines:
                         print(line, file=paf_out)
                     paf_out.flush()
-                    with open(progress_path, "w") as fh:
-                        _json.dump({"completed_reads": base + nxt,
-                                    "total_reads": None}, fh)
+                    _write_progress(progress_path, base + nxt, None,
+                                    paf_out.tell())
                 done += len(batch)
-        with open(progress_path, "w") as fh:
-            _json.dump({"completed_reads": done, "total_reads": done}, fh)
+            paf_out.flush()
+            _write_progress(progress_path, done, done, paf_out.tell())
         if profile:
             print(timers.report(), file=err)
             print(_json_dumps(mapper.counters.as_dict()), file=err)
@@ -410,9 +433,8 @@ def main(argv: Optional[List[str]] = None,
             for line in lines:
                 print(line, file=paf_out)
             paf_out.flush()
-            with open(progress_path, "w") as fh:
-                _json.dump({"completed_reads": done,
-                            "total_reads": len(reads.records)}, fh)
+            _write_progress(progress_path, done, len(reads.records),
+                            paf_out.tell())
     if profile:
         print(timers.report(), file=err)
         print(_json_dumps(mapper.counters.as_dict()), file=err)

@@ -82,6 +82,11 @@ def parse_slice(path: str, mode: int, lo: int, hi: int
     total = int(lib.bioinfo1_fastx_total(h))
     res = _materialize(lib, h, free=False)
     lib.bioinfo1_fastx_free(h)
+    if res is None:
+        # Malformed file: report kind 0 so the caller raises FormatError
+        # directly instead of a TypeError triggering a redundant full-file
+        # Python re-parse on every process (ADVICE r03).
+        return (0, [], total)
     kind, records = res
     return (kind, records, total)
 

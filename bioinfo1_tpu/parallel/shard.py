@@ -153,14 +153,19 @@ def process_read_slice(n_records: int) -> tuple:
 
 def _merge_endpoint():
     """(host, port) of the process-0 merge socket, derived from the JAX
-    coordinator address (which lives on process 0 by convention)."""
+    coordinator address (which lives on process 0 by convention), or
+    BIOINFO1_MERGE_HOST.  host is None when it cannot be derived (e.g. a TPU
+    pod auto-initialized from instance metadata): senders would otherwise
+    connect to 127.0.0.1 - themselves - and hang out the full merge timeout
+    (ADVICE r03); the caller falls back to the allgather merge instead."""
     import os
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
     host, _, port = addr.partition(":")
+    host = os.environ.get("BIOINFO1_MERGE_HOST", host) or None
     mport = os.environ.get("BIOINFO1_MERGE_PORT")
     if mport:
-        return host or "127.0.0.1", int(mport)
-    return host or "127.0.0.1", (int(port) if port else 9400) + 17
+        return host, int(mport)
+    return host, (int(port) if port else 9400) + 17
 
 
 def _p2p_gather_blobs(blob: bytes, timeout_s: float = 0.0):
@@ -249,6 +254,14 @@ def gather_lines_to_process0(lines):
         return list(lines)
     import os
     if os.environ.get("BIOINFO1_MERGE") == "allgather":
+        return _gather_lines_allgather(lines)
+    if _merge_endpoint()[0] is None:
+        # No coordinator host to connect to (pod auto-init): the p2p merge
+        # cannot work; use the collective path rather than hanging.
+        import sys
+        print("bioinfo1: no merge host derivable "
+              "(set BIOINFO1_MERGE_HOST or JAX_COORDINATOR_ADDRESS); "
+              "using allgather merge", file=sys.stderr)
         return _gather_lines_allgather(lines)
     blob = ("\n".join(lines)).encode("utf-8")
     blobs = _p2p_gather_blobs(blob)

@@ -183,7 +183,11 @@ def _needed_band_arr(ql, tl, score, match: int, mismatch: int, gap: int,
             return None
         need2 = (-(-(maxsub * np.minimum(ql, tl) - score + eps) // (-gap))
                  + np.abs(diff))
-        return need2 // 2 + 2
+        # certify's goal_in_band term additionally needs W >= |tl-ql| + 2
+        # (the goal cell's diagonal offset must lie inside the band) -
+        # without it a high-scoring length-skewed region under-sizes the
+        # band to one that provably cannot certify (ADVICE r03).
+        return np.maximum(need2 // 2 + 2, np.abs(diff) + 2)
     if maxsub <= 0:
         return np.zeros_like(ql)
     F = (score - eps) // maxsub
@@ -640,8 +644,11 @@ class Mapper:
             # the fused step at a doubled band instead of falling back to the
             # full-matrix host path - on ONT-like indel reads the optimal
             # path drifts off-diagonal and a fixed band of 256 misses often.
-            band = self._bucket_band(cap, True)
             max_band = self._max_fused_band(cap, arr.shape[0])
+            # A band persisted under a SMALLER batch can exceed this batch's
+            # parent-stream HBM ceiling; clamp instead of relying on the OOM
+            # retry ladder to recover (ADVICE r03).
+            band = min(self._bucket_band(cap, True), max_band)
             while True:
                 cig = run(band)
                 out = cig.base

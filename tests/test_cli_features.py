@@ -38,7 +38,8 @@ def test_output_file_and_progress(tmp_path):
     lines = open(out_path).read().splitlines()
     assert len(lines) == 3
     prog = json.load(open(out_path + ".progress"))
-    assert prog == {"completed_reads": 3, "total_reads": 3}
+    assert prog["completed_reads"] == prog["total_reads"] == 3
+    assert prog["part_bytes"] == os.path.getsize(out_path)
 
 
 def test_resume_appends_missing_reads(tmp_path):
@@ -52,6 +53,31 @@ def test_resume_appends_missing_reads(tmp_path):
     with open(part, "w") as fh:
         fh.write(want.splitlines(keepends=True)[0])
     json.dump({"completed_reads": 1, "total_reads": 3},
+              open(part + ".progress", "w"))
+    rc, _, _ = run_ours(["-k", "5", "-w", "2", "--batch-size", "1",
+                         "-o", part, "--resume", ref, reads])
+    assert rc == 0
+    assert open(part).read() == want
+
+
+def test_resume_truncates_uncheckpointed_tail(tmp_path):
+    """Crash-window correctness (ADVICE r03): output lines flushed AFTER the
+    last progress update (including a torn partial line) must be truncated
+    on --resume, not duplicated by the append."""
+    ref, reads = _write_inputs(tmp_path)
+    full = str(tmp_path / "full.paf")
+    run_ours(["-k", "5", "-w", "2", "--batch-size", "1", "-o", full,
+              ref, reads])
+    want = open(full).read()
+    rows = want.splitlines(keepends=True)
+
+    part = str(tmp_path / "part.paf")
+    with open(part, "w") as fh:
+        fh.write(rows[0])
+        checkpointed_bytes = fh.tell()
+        fh.write(rows[1][: len(rows[1]) // 2])   # torn line past checkpoint
+    json.dump({"completed_reads": 1, "total_reads": 3,
+               "part_bytes": checkpointed_bytes},
               open(part + ".progress", "w"))
     rc, _, _ = run_ours(["-k", "5", "-w", "2", "--batch-size", "1",
                          "-o", part, "--resume", ref, reads])
