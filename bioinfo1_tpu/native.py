@@ -54,6 +54,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, i64p, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        if hasattr(lib, "bioinfo1_cigar_rle"):
+            lib.bioinfo1_cigar_rle.restype = ctypes.c_int64
+            lib.bioinfo1_cigar_rle.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_int64, i64p, i32p,
+            ]
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -103,6 +112,60 @@ def freq_orders2(fwd_hashes: np.ndarray, rev_hashes: np.ndarray,
     m = rev_m.value
     return ((f_iter[:n], f_cnt[:n], f_sort[:n]),
             (r_iter[:m], r_cnt[:m], r_sort[:m]))
+
+
+MODE_INT = {"global": 0, "local": 1, "semiGlobal": 2}
+
+
+def cigar_rle_batch(packed, cols, goal_i, goal_j, q_len, t_len,
+                    mode: str, sam_convention: bool = False,
+                    local_target_begin_end: bool = False):
+    """Decode a batch of CIGARs from PACKED device-walk codes natively.
+
+    ``packed`` is the (S4, B) uint8 tensor ops/trace.pack_codes emits
+    (fetched from device); ``cols`` selects each wanted read's column.
+    Returns (cigars: List[str], target_begins: List[int]) or None when the
+    native library is unavailable - callers fall back to
+    utils.cigar.cigar_from_codes on the unpacked codes (the executable
+    spec for native/cigar.cpp).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bioinfo1_cigar_rle"):
+        return None
+    # Transpose so each read's code bytes are contiguous for the C++ scan
+    # (one ~MB memcpy beats two column-strided passes of cache misses).
+    s4, b_total = np.shape(packed)
+    p = np.ascontiguousarray(np.asarray(packed, dtype=np.uint8).T)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    n = len(cols)
+    gi = np.ascontiguousarray(goal_i, dtype=np.int32)
+    gj = np.ascontiguousarray(goal_j, dtype=np.int32)
+    ql = np.ascontiguousarray(q_len, dtype=np.int32)
+    tl = np.ascontiguousarray(t_len, dtype=np.int32)
+    off = np.zeros(n + 1, dtype=np.int64)
+    tbs = np.zeros(n, dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    args = (
+        p.ctypes.data_as(u8p), s4, b_total,
+        cols.ctypes.data_as(i32p),
+        gi.ctypes.data_as(i32p), gj.ctypes.data_as(i32p),
+        ql.ctypes.data_as(i32p), tl.ctypes.data_as(i32p),
+        n, MODE_INT[mode], 1 if sam_convention else 0,
+        1 if local_target_begin_end else 0,
+    )
+    # Hard output bound (<= 2 chars per op + pad): one single-pass call.
+    cap = int(n * (8 * s4 + 32))
+    out = ctypes.create_string_buffer(max(cap, 1))
+    required = lib.bioinfo1_cigar_rle(
+        *args, out, cap, off.ctypes.data_as(i64p),
+        tbs.ctypes.data_as(i32p))
+    if required < 0 or required > cap:      # unreachable per the bound
+        return None
+    blob = out.raw[:required].decode("latin1")
+    cigars = [blob[off[i]:off[i + 1]] for i in range(n)]
+    return cigars, tbs.tolist()
 
 
 def paf_format(names, read_lens, mappings, ref_name: str, ref_len: int,

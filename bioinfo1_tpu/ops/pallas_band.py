@@ -84,7 +84,7 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
             axis=1, keepdims=True)
 
     def step(d, carry):
-        score, bc, bi, bj, cc, ci, rc, rj = carry
+        score, bc, bi, bj, cc, ci, rc, rj, pacc = carry
         p = jax.lax.rem(d, 2)
         i0 = (d + W) // 2                                  # row at lane 0
         j0 = d - i0                                        # col at lane 0
@@ -157,8 +157,21 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
         h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
 
         if want_parents:
+            # Pack 4 consecutive steps' 2-bit parents into one byte in a
+            # register accumulator before anything touches VMEM/HBM: the
+            # parent stream is the -c path's dominant memory (a byte per
+            # band cell was ~4 GB per 8 kb x 512 batch, OOMing next to the
+            # resident index) and its DMA the dominant bandwidth.  Layout:
+            # step idx = d-2 lands in byte row idx>>2 at bit 2*(idx&3)
+            # (ops/trace.py walk_parents and utils/cigar._parent read it).
             idx = d - 2
-            pbuf_s[jax.lax.rem(idx, CH)] = parent.astype(jnp.int8)
+            sub = jax.lax.rem(idx, 4)
+            pp = parent << (2 * sub)
+            pacc = jnp.where(sub == 0, pp, pacc | pp)
+
+            @pl.when((sub == 3) | (d == d_stop))
+            def _():
+                pbuf_s[jax.lax.rem(idx, CH) // 4] = pacc.astype(jnp.uint8)
 
             # Flush a full chunk (or the final partial one) to HBM.
             @pl.when((jax.lax.rem(idx, CH) == CH - 1) | (d == d_stop))
@@ -166,7 +179,8 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
                 base = pl.multiple_of(idx - jax.lax.rem(idx, CH), CH)
                 cp = pltpu.make_async_copy(
                     pbuf_s,
-                    par_ref.at[pl.ds(base, CH), pl.ds(tile * BT, BT), :],
+                    par_ref.at[pl.ds(base // 4, CH // 4),
+                               pl.ds(tile * BT, BT), :],
                     dma_sem)
                 cp.start()
                 cp.wait()
@@ -220,15 +234,16 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
 
         h2_s[...] = h1
         h1_s[...] = h
-        return score, bc, bi, bj, cc, ci, rc, rj
+        return score, bc, bi, bj, cc, ci, rc, rj, pacc
 
     zero = jnp.zeros((BT, 1), jnp.int32)
     neg = jnp.full((BT, 1), _NEG, jnp.int32)
-    carry0 = (zero, neg, zero, zero, zero, zero, zero, zero)
+    pacc0 = jnp.zeros((BT, W) if want_parents else (BT, 1), jnp.int32)
+    carry0 = (zero, neg, zero, zero, zero, zero, zero, zero, pacc0)
     # Every goal rule only reads cells with d <= ql + tl, so the sweep stops
     # at the tile's largest one (dynamic bound).
     d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
-    score, bc, bi, bj, cc, ci, rc, rj = jax.lax.fori_loop(
+    score, bc, bi, bj, cc, ci, rc, rj, _ = jax.lax.fori_loop(
         2, d_stop + 1, step, carry0)
     if mode == 0:
         score_ref[...] = score
@@ -262,10 +277,13 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     (team_alignment.cpp:185-192, 265-278).
 
     With ``want_parents``, parents are emitted in band coordinates packed
-    16-per-uint32 (same layout as ops.align.align_banded_parents: diag d at
-    row d-2, lane l = (j-i+W-(d&1))/2) - walk with utils.cigar.traceback
-    band=W.  The sweep streams int8 parents to HBM in 128-step chunks via
-    async DMA and packs them to 2-bit words afterwards; only reads passing
+    4-STEPS-per-uint8: (steps/4, B, W) with step idx = d-2 at row idx>>2,
+    lane l = (j-i+W-(d&1))/2, bit offset 2*(idx&3).  The kernel packs in a
+    register accumulator and DMAs 32-row chunks, so the parent stream costs
+    one QUARTER byte per band cell end to end (HBM, VMEM and DMA) - walk
+    with utils.cigar.traceback band=W or ops.trace.walk_parents (both
+    dispatch on the uint8 dtype; the lax align_banded_parents keeps the
+    16-lanes-per-uint32 layout).  Only reads passing
     certify(..., strict=True) may trust them.
     """
     B, n = q_bytes.shape
@@ -275,6 +293,11 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     # fewer/wider tiles cut the serial step count (measured 45 -> 33 ms per
     # 256x4k batch going 32 -> 128) while staying well inside VMEM.
     BT = block if block else (128 if B >= 128 else 64 if B >= 64 else 32)
+    # VMEM guard for very wide bands (outlier-read reruns can reach
+    # whole-matrix width): 4 int32 state rows + the packed parent chunk
+    # cost ~48 B per lane per tile row.
+    while BT > 8 and BT * W * 48 > 12e6:
+        BT //= 2
     b_pad = _round_up(max(B, BT), BT)
     n_pad = _round_up(max(n, 128), 128)
     # The band never touches j > i + W, so the target tail beyond n+W is
@@ -321,16 +344,17 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
         pltpu.VMEM((BT, 128), jnp.uint8),
     ]
     if want_parents:
-        # Whole-array HBM output; the kernel DMAs CH-step chunks into it.
+        # Whole-array HBM output, already 4-steps-per-byte packed by the
+        # kernel; the kernel DMAs CH-step (= CH/4-row) chunks into it.
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
-            jax.ShapeDtypeStruct((steps_pad, b_pad, W), jnp.int8))
-        scratch += [pltpu.VMEM((CH, BT, W), jnp.int8),
+            jax.ShapeDtypeStruct((steps_pad // 4, b_pad, W), jnp.uint8))
+        scratch += [pltpu.VMEM((CH // 4, BT, W), jnp.uint8),
                     pltpu.SemaphoreType.DMA]
     else:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((1, 1, 1), jnp.int8))
-        scratch += [pltpu.VMEM((1, 1, 1), jnp.int8),
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, 1), jnp.uint8))
+        scratch += [pltpu.VMEM((1, 1, 1), jnp.uint8),
                     pltpu.SemaphoreType.DMA]
 
     score, gi, gj, par8 = pl.pallas_call(
@@ -354,20 +378,11 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     )(q_p, ql, t_p, tl, qd0, td0, prm)
 
     if want_parents:
-        # Pack int8 parents to 2-bit, 16 lanes per uint32 word - the layout
-        # utils/cigar.py walks (and align_banded_parents emits).  Packed in
-        # 128-step chunks via lax.map: a whole-tensor astype(uint32) was a
-        # 4x transient (4+ GB at 512x4kb batches) that stacked with the
-        # resident index and OOMed HBM.
-        CHP = 128                      # divides steps_pad (rounded to CH)
-        shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, None, :]
-
-        def pack_chunk(p8):            # (CHP, B, W) int8
-            p = p8.astype(jnp.uint32).reshape(CHP, B, W // 16, 16)
-            return jnp.sum(p << shifts, axis=-1, dtype=jnp.uint32)
-
-        p8 = par8[:, :B, :].reshape(steps_pad // CHP, CHP, B, W)
-        parents = jax.lax.map(pack_chunk, p8).reshape(steps_pad, B, W // 16)
+        # Already packed by the kernel (4 steps per byte): (S/4, B, W)
+        # uint8, step idx at row idx>>2 bit 2*(idx&3).  The uint8 dtype is
+        # the layout marker ops/trace.walk_parents and utils/cigar._parent
+        # dispatch on (uint32 = 16-lanes-per-word, the lax fallback's).
+        parents = par8[:, :B, :]
     else:
         parents = jnp.zeros((0, 0, 0), dtype=jnp.uint32)
 

@@ -38,7 +38,10 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
     """(steps, B) uint8 op codes, goal -> origin order.
 
     Args:
-      parents: (S, B, PW) uint32 packed parents (diag d at row d-2).
+      parents: packed parents, either (S, B, PW) uint32 (16 lanes per word,
+        diag d at row d-2 - the lax kernels' layout) or (S4, B, W) uint8
+        (4 STEPS per byte, step idx = d-2 at row idx>>2 bit 2*(idx&3) - the
+        Pallas banded kernel's in-kernel-packed layout; banded only).
       goal_i/goal_j: (B,) traceback start cells.
       score: (B,) DP scores (local mode's stop counter; ignored otherwise).
       q_bytes/t_bytes: (B, n)/(B, m) region bytes (local edge costs).
@@ -46,7 +49,7 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
       band: 0 for full-layout parents, else the band width W (static).
     """
     S, B, PW = parents.shape
-    flat = parents.reshape(-1)
+    step_packed = parents.dtype == jnp.uint8
     rows = jnp.arange(B, dtype=jnp.int32)
     match = jnp.int32(match)
     mismatch = jnp.int32(mismatch)
@@ -55,14 +58,30 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
     qn = q_bytes.shape[1]
     tm = t_bytes.shape[1]
 
+    # One element per read per step, gathered by 3-D coordinate: a linear
+    # index into the flattened tensor would overflow int32 (the uint8
+    # layout reaches 2.3e9 ELEMENTS at 512 x 8 kb x band 1024 - past
+    # 2^31 - which raised mid-walk and killed every big -c batch).
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0, 1, 2),
+        start_index_map=(0, 1, 2))
+
+    def gather3(r, lane_w):
+        starts = jnp.stack([r, rows, lane_w], axis=1)        # (B, 3)
+        return jax.lax.gather(parents, starts, gdn,
+                              slice_sizes=(1, 1, 1), mode="clip")
+
     def parent_at(i, j):
         d = i + j
         if band:
             lane = (j - i + band - (d & 1)) >> 1
         else:
             lane = i
-        idx = ((jnp.clip(d - 2, 0, S - 1)) * B + rows) * PW + (lane >> 4)
-        word = jnp.take(flat, idx)
+        if step_packed:
+            word = gather3(jnp.clip(d - 2, 0, 4 * S - 1) >> 2,
+                           lane).astype(jnp.int32)
+            return (word >> (2 * ((d - 2) & 3))) & 3
+        word = gather3(jnp.clip(d - 2, 0, S - 1), lane >> 4)
         return ((word >> (2 * (lane & 15).astype(jnp.uint32)))
                 & 3).astype(jnp.int32)
 
@@ -108,7 +127,8 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
 
     carry0 = (goal_i.astype(jnp.int32), goal_j.astype(jnp.int32),
               score.astype(jnp.int32))
-    n_iter = -(-(S + 2) // UNROLL)
+    total_steps = 4 * S if step_packed else S
+    n_iter = -(-(total_steps + 2) // UNROLL)
     _, codes = jax.lax.scan(step, carry0, None, length=n_iter)
     return codes.reshape(n_iter * UNROLL, -1)
 

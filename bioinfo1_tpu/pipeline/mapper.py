@@ -196,6 +196,38 @@ def _needed_band_arr(ql, tl, score, match: int, mismatch: int, gap: int,
     return np.maximum(np.maximum(w1, w2), 0)
 
 
+def _decode_cigars(packed_codes, idxs, goal_i, goal_j, q_len, t_len,
+                   cfg: "MapperConfig"):
+    """(cigars, target_begins) for the selected reads, decoded from the
+    PACKED device-walk codes - natively (native/cigar.cpp, one C++ pass
+    over the packed bytes) with utils.cigar.cigar_from_codes as the
+    executable-spec fallback.  The per-read numpy+f-string RLE was the -c
+    pipeline's largest host cost (~1.4 ms/read at 8 kb)."""
+    from bioinfo1_tpu import native
+    idxs = np.asarray(idxs, dtype=np.int32)
+    gi = np.asarray(goal_i)[idxs]
+    gj = np.asarray(goal_j)[idxs]
+    ql = np.asarray(q_len)[idxs]
+    tl = np.asarray(t_len)[idxs]
+    nat = native.cigar_rle_batch(
+        packed_codes, idxs, gi, gj, ql, tl, cfg.align_type,
+        sam_convention=cfg.sam_cigar,
+        local_target_begin_end=cfg.local_target_begin_end)
+    if nat is not None:
+        return nat
+    from bioinfo1_tpu.ops.trace import unpack_codes_np
+    codes = unpack_codes_np(packed_codes)
+    cigs, tbs = [], []
+    for loc, i in enumerate(idxs):
+        c, tb = cg.cigar_from_codes(
+            codes[:, i], cfg.align_type, int(gi[loc]), int(gj[loc]),
+            int(ql[loc]), int(tl[loc]), sam_convention=cfg.sam_cigar,
+            local_target_begin_end=cfg.local_target_begin_end)
+        cigs.append(c)
+        tbs.append(tb)
+    return cigs, tbs
+
+
 def _chains_for_strand(mres, idx_strand, budget: int):
     got = match_ops.find_matches(
         mres.hashes, mres.pos, mres.dedup_keep,
@@ -204,9 +236,12 @@ def _chains_for_strand(mres, idx_strand, budget: int):
 
 
 def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
-                budget: int) -> Tuple[List[ReadMapping], List[int]]:
+                budget: int, band_hint: int = 0,
+                ) -> Tuple[List[ReadMapping], List[int]]:
     """Map one length bucket; returns results plus indices needing a bigger
-    match budget (overflow retry path)."""
+    match budget (overflow retry path).  ``band_hint`` seeds the banded -c
+    band (callers pass the certifying width their own scores prove, so the
+    first banded pass certifies instead of laddering)."""
     k, w = index.k, index.w
     arr, lens = _pack_reads(seqs, k + w - 1)
     mres = mz.minimize_batch(arr, lens, k, w,
@@ -279,43 +314,75 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         # tensor shrinks by (n+1)/band (the -c memory/transfer hot spot) and
         # the strict certificate guarantees byte-identical tracebacks;
         # certificate misses re-run through the full kernel below.
-        band = 256
         mode_i = al.MODE_BY_NAME[cfg.align_type]
-        use_band = cfg.output_cigar and qa.shape[1] > 2 * band
+        w_whole0 = max(qa.shape[1], ta.shape[1] + 2)
+        band = 256
+        if band_hint:
+            band = min(_pow2_at_least(max(band_hint, 256), 256),
+                       -(-w_whole0 // 128) * 128)
+        use_band = cfg.output_cigar and qa.shape[1] > 512
         banded = {}
         lane_mult = 1  # overwritten on the banded path; walk_band needs it
                        # bound even when `banded` stays empty
-        if use_band:
+        # The certificate machinery only applies under the modes' gap-sign
+        # preconditions and (global) without literal '-' bytes.
+        cert_ok = ((cfg.gap < 0) if mode_i == 0 else (cfg.gap <= 0)) and not (
+            mode_i == 0 and ((qa == ord("-")).any() or (ta == ord("-")).any()))
+        if use_band and cert_ok:
             from bioinfo1_tpu.ops import pallas_band as pb
-            if jax.default_backend() == "tpu":
-                bout = pb.align_scores_banded(
+
+            def run_banded(W):
+                if jax.default_backend() == "tpu":
+                    # Shrink the lane tile so band scratch (4 int32 state
+                    # rows + the packed parent chunk, ~48 B/lane/row) stays
+                    # inside VMEM at whole-matrix-scale bands.
+                    bt = 128
+                    while bt > 8 and bt * W * 48 > 12e6:
+                        bt //= 2
+                    return pb.align_scores_banded(
+                        qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
+                        band=W, block=bt, want_parents=True, mode=mode_i), 128
+                return al.align_banded_parents(
                     qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
-                    band=band, want_parents=True, mode=mode_i)
-                lane_mult = 128
-            else:
-                bout = al.align_banded_parents(
-                    qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
-                    band=band, mode=mode_i)
-                lane_mult = 16
-            cert = jax.device_get(pb.certify(
-                bout.score, qa, ql, ta, tl,
-                np.int32(cfg.match), np.int32(cfg.mismatch),
-                np.int32(cfg.gap), band, strict=True,
-                lane_multiple=lane_mult, mode=mode_i))
+                    band=W, mode=mode_i), 16
+
+            def run_cert(bout, W, lm):
+                return jax.device_get(pb.certify(
+                    bout.score, qa, ql, ta, tl,
+                    np.int32(cfg.match), np.int32(cfg.mismatch),
+                    np.int32(cfg.gap), W, strict=True,
+                    lane_multiple=lm, mode=mode_i))
+
+            bout, lane_mult = run_banded(band)
+            cert = run_cert(bout, band, lane_mult)
+            if not cert.all():
+                # Retry once at the band the misses provably certify at,
+                # solved from the first pass's scores (exact lower bounds:
+                # a wider band only improves them, so score > bound(W2)
+                # transfers).  This replaces the full-matrix fallback that
+                # cost seconds per miss (lax wavefront, one step per
+                # anti-diagonal) and O(n*m/16) parent HBM.
+                w_need = _needed_band_arr(
+                    ql.astype(np.int64), np.minimum(tl, ta.shape[1]),
+                    jax.device_get(bout.score), cfg.match, cfg.mismatch,
+                    cfg.gap, mode_i, strict=True)
+                w_whole = max(int(ql.max()), int(tl.max()) + 2)
+                W2 = int(np.max(w_need[~cert]))
+                # Pow-2 rounding bounds the jit-key count; whole-matrix
+                # width caps it (certify's `whole` term then holds).
+                W2 = min(_pow2_at_least(max(W2, 2 * band), 512),
+                         -(-w_whole // 128) * 128)
+                bout, lane_mult = run_banded(W2)
+                cert = run_cert(bout, W2, lane_mult)
+                band = W2
             if cert.all():
                 out = bout
                 banded = {b: True for b in range(len(jobs))}
-            elif cert.any():
-                out_full = al.align_batch(
-                    qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
-                    cfg.match, cfg.mismatch, cfg.gap, want_parents=True)
-                out = out_full
-                # Scores agree where certified; keep full parents for all
-                # (simpler than stitching two parent tensors).
-            else:
+            else:  # unreachable for finite w_need; safety net
                 out = al.align_batch(
-                    qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
+                    qa, ql, ta, tl, mode_i,
                     cfg.match, cfg.mismatch, cfg.gap, want_parents=True)
+                banded = {}
         else:
             out = al.align_batch(
                 qa, ql, ta, tl, al.MODE_BY_NAME[cfg.align_type],
@@ -324,29 +391,29 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
         scores = jax.device_get(out.score)
         goal_i = jax.device_get(out.goal_i)
         goal_j = jax.device_get(out.goal_j)
-        codes = None
+        cig_pairs = None
         if cfg.output_cigar:
             # Device traceback walk: the packed parents stay on the device;
-            # only a (steps, B) uint8 op-code tensor crosses to the host
-            # (ops/trace.py) - no 10^2 MB parents fetch, no per-base Python.
+            # only a packed (steps/4, B) uint8 op-code tensor crosses to the
+            # host (ops/trace.py), decoded by one native RLE pass - no
+            # 10^2 MB parents fetch, no per-base Python.
             from bioinfo1_tpu.ops import trace as tr
             walk_band = (-(-band // lane_mult) * lane_mult) if banded else 0
-            codes = tr.unpack_codes_np(jax.device_get(tr.pack_codes(
+            packed = jax.device_get(tr.pack_codes(
                 tr.walk_parents(
                     out.parents, out.goal_i, out.goal_j, out.score,
                     qa, ta, cfg.match, cfg.mismatch, cfg.gap,
-                    mode=al.MODE_BY_NAME[cfg.align_type], band=walk_band))))
+                    mode=al.MODE_BY_NAME[cfg.align_type], band=walk_band)))
+            cigs, tbs = _decode_cigars(
+                packed, list(range(len(jobs))), goal_i, goal_j,
+                [len(q) for q in qs], [len(t) for t in ts], cfg)
+            cig_pairs = list(zip(cigs, tbs))
 
         for b, i in enumerate(jobs):
             cigar = None
             target_begin = None
             if cfg.output_cigar:
-                cigar, target_begin = cg.cigar_from_codes(
-                    codes[:, b], cfg.align_type,
-                    int(goal_i[b]), int(goal_j[b]),
-                    len(qs[b]), len(ts[b]),
-                    sam_convention=cfg.sam_cigar,
-                    local_target_begin_end=cfg.local_target_begin_end)
+                cigar, target_begin = cig_pairs[b]
             results[i] = ReadMapping(
                 mapped=True, is_fwd=bool(use_fwd[i]),
                 q_begin=int(q_begin[i]), q_end=int(q_end[i]),
@@ -535,10 +602,11 @@ class Mapper:
         return b
 
     def _max_fused_band(self, cap: int, batch: int) -> int:
-        """Band ceiling for the fused -c ladder: the int8 parent tensor is
-        ~3*cap*batch*W bytes of HBM; keep it under ~4 GB and never wider
-        than the whole-matrix certainty threshold (W >= region_cap + 2)."""
-        mem_cap = int(4e9 // max(3 * cap * batch, 1))
+        """Band ceiling for the fused -c ladder: the kernel-packed parent
+        tensor is ~(3*cap/4)*batch*W bytes of HBM (4 steps per byte,
+        ops/pallas_band.py); keep it under ~4 GB and never wider than the
+        whole-matrix certainty threshold (W >= region_cap + 2)."""
+        mem_cap = int(4e9 // max(3 * cap * batch // 4, 1))
         return min(_pow2_at_least(2 * cap, 128) + 128,
                    max(256, (mem_cap // 128) * 128))
 
@@ -595,12 +663,15 @@ class Mapper:
         self._band_by_key[(cap, False)] = min(new, max_band)
 
     def _map_bucket_fused(
-            self, seqs: Sequence[str], budget: int
-    ) -> Tuple[List[ReadMapping], List[int], List[int]]:
-        """Fused device bucket.  Returns (results, budget_retry, host_retry):
-        budget_retry reads overflowed (retry fused, doubled budget);
-        host_retry reads failed the banded-traceback certificate even at the
-        ladder's widest band (re-route through the full-matrix host path)."""
+            self, seqs: Sequence[str], budget: int, band_override: int = 0
+    ) -> Tuple[List[ReadMapping], List[int], List[int], dict]:
+        """Fused device bucket.  Returns (results, budget_retry, host_retry,
+        host_hint): budget_retry reads overflowed (retry fused, doubled
+        budget); host_retry reads failed the banded-traceback certificate
+        even at the ladder's widest band (re-route through the banded host
+        path); host_hint maps each such read to the band its FUSED score (a
+        valid lower bound) proves certifiable, so the host pass starts
+        there instead of re-laddering from scratch."""
         import jax.numpy as jnp
         from bioinfo1_tpu.pipeline import device_map as dm
         from bioinfo1_tpu.ops.align import MODE_BY_NAME
@@ -649,6 +720,13 @@ class Mapper:
             # parent-stream HBM ceiling; clamp instead of relying on the OOM
             # retry ladder to recover (ADVICE r03).
             band = min(self._bucket_band(cap, True), max_band)
+            if band_override:
+                # Cert-missed outlier rerun: start straight at the band the
+                # read's own (lower-bound) score proves certifiable, pow-2
+                # rounded to bound jit keys.  Small cohorts -> max_band is
+                # generous.
+                band = min(_pow2_at_least(max(band_override, 256), 256),
+                           max_band)
             while True:
                 cig = run(band)
                 out = cig.base
@@ -665,7 +743,7 @@ class Mapper:
             # at that width would inflate every later batch's parent
             # stream; outlier batches rerun the ladder instead.
             ok = out.mapped[:n_real] & cig.certified[:n_real]
-            if ok.any():
+            if ok.any() and not band_override:
                 need = _needed_band_arr(
                     cig.q_len[:n_real], cig.t_len[:n_real],
                     out.score[:n_real], cfg.match, cfg.mismatch, cfg.gap,
@@ -684,15 +762,22 @@ class Mapper:
         results: List[ReadMapping] = []
         retry: List[int] = []
         host_retry: List[int] = []
-        codes = None
+        host_hint: dict = {}
+        cig_by_i: dict = {}
         if cig is not None:
-            from bioinfo1_tpu.ops.trace import unpack_codes_np
-            codes = unpack_codes_np(cig.codes)
             nm = out.mapped[:len(seqs)]
             with self._counters_lock:
                 self.counters.cert_total += int(nm.sum())
                 self.counters.cert_hits += int(
                     (nm & cig.certified[:len(seqs)]).sum())
+            sel = [i for i in range(len(seqs))
+                   if out.mapped[i] and not out.overflow[i]
+                   and cig.certified[i]]
+            if sel:
+                cigs, tbs = _decode_cigars(
+                    cig.codes, sel, cig.goal_i, cig.goal_j,
+                    cig.q_len, cig.t_len, cfg)
+                cig_by_i = dict(zip(sel, zip(cigs, tbs)))
         with self._counters_lock:
             self.counters.batches += 1
         for i in range(len(seqs)):
@@ -704,23 +789,21 @@ class Mapper:
             elif cig is not None and not cig.certified[i]:
                 results.append(ReadMapping(mapped=False))
                 host_retry.append(i)
+                need = _needed_band_arr(
+                    np.int64(cig.q_len[i]), np.int64(cig.t_len[i]),
+                    np.int64(out.score[i]), cfg.match, cfg.mismatch,
+                    cfg.gap, mode, strict=True)
+                if need is not None:
+                    host_hint[i] = int(need)
             else:
-                cigar = None
-                target_begin = None
-                if cig is not None:
-                    cigar, target_begin = cg.cigar_from_codes(
-                        codes[:, i], cfg.align_type,
-                        int(cig.goal_i[i]), int(cig.goal_j[i]),
-                        int(cig.q_len[i]), int(cig.t_len[i]),
-                        sam_convention=cfg.sam_cigar,
-                        local_target_begin_end=cfg.local_target_begin_end)
+                cigar, target_begin = cig_by_i.get(i, (None, None))
                 results.append(ReadMapping(
                     mapped=True, is_fwd=bool(out.is_fwd[i]),
                     q_begin=int(out.q_begin[i]), q_end=int(out.q_end[i]),
                     t_begin=int(out.t_begin[i]), t_end=int(out.t_end[i]),
                     score=int(out.score[i]), cigar=cigar,
                     target_begin=target_begin))
-        return results, retry, host_retry
+        return results, retry, host_retry, host_hint
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
         cfg = self.cfg
@@ -730,6 +813,7 @@ class Mapper:
         force_host: set = set()     # banded-certificate misses (fused -c)
         oom_retry: set = set()      # transient-OOM reruns: SAME budget
         mult: dict = {}             # per-read budget multiplier (overflow)
+        band_hint: dict = {}        # per-read certifying band (fused score)
         budget = cfg.initial_match_budget
         attempts = 0
         while pending:
@@ -747,15 +831,35 @@ class Mapper:
             next_pending: List[int] = []
             for bucket in buckets:
                 idxs = [pending[j] for j in bucket]
+                # Three routes: "band" = cert-missed reads whose own scores
+                # proved a certifying band (rerun FUSED at that band - one
+                # jit round trip, vs the host path's ~10 serial device
+                # fetches at ~50 ms tunnel latency each); "fused" = the
+                # normal path (plus OOM reruns); "host" = staged pipeline
+                # for faults, hint-less cert misses and bug-compat.
+                band_set = {i for i in idxs
+                            if i in band_hint and i not in force_host}
                 fused_set = {i for i in idxs
                              if (fused or i in oom_retry)
-                             and i not in force_host}
-                fused_idx = [i for i in idxs if i in fused_set]
-                host_idx = [i for i in idxs if i not in fused_set]
-                for sub_idxs, on_device in ((fused_idx, True),
-                                            (host_idx, False)):
+                             and i not in force_host and i not in band_set}
+                host_idx = [i for i in idxs
+                            if i not in fused_set and i not in band_set]
+                pairs = [([i for i in idxs if i in fused_set], "fused"),
+                         ([i for i in idxs if i in band_set], "band")]
+                # Host-path -c dispatches are memory-bound by their banded
+                # parent tensors (up to whole-matrix width after the
+                # needed-band retry); 32-read chunks cap that at a few GB
+                # even for 8 kb+ regions (VERDICT r03: bug-compat -c must
+                # not be unbounded-memory).
+                if cfg.output_cigar:
+                    pairs += [(host_idx[o:o + 32], "host")
+                              for o in range(0, len(host_idx), 32)]
+                else:
+                    pairs.append((host_idx, "host"))
+                for sub_idxs, kind in pairs:
                     if not sub_idxs:
                         continue
+                    on_device = kind != "host"
                     sub = [seqs[i] for i in sub_idxs]
                     # Budget scales with the bucket's CAP (a read has
                     # ~2L/(w+1) minimizers, typically ~1 hit each), so long
@@ -779,12 +883,21 @@ class Mapper:
                     # line instead of aborting the whole run.
                     try:
                         if on_device:
-                            res, retry, host_retry = self._map_bucket_fused(
-                                sub, b_budget)
+                            override = 0
+                            if kind == "band":
+                                override = max(band_hint[i]
+                                               for i in sub_idxs)
+                            res, retry, host_retry, hints = \
+                                self._map_bucket_fused(
+                                    sub, b_budget, band_override=override)
                         else:
-                            res, retry = _map_bucket(sub, self.index, cfg,
-                                                     b_budget)
+                            res, retry = _map_bucket(
+                                sub, self.index, cfg, b_budget,
+                                band_hint=max(
+                                    (band_hint.get(i, 0)
+                                     for i in sub_idxs), default=0))
                             host_retry = []
+                            hints = {}
                     except Exception as e:
                         with self._counters_lock:
                             self.counters.faults += 1
@@ -817,7 +930,14 @@ class Mapper:
                             mult[i] = mult.get(i, 1) * 2
                             next_pending.append(i)
                         elif loc in host_s:
-                            force_host.add(i)
+                            # First miss with a provable band -> fused
+                            # rerun at that band; a second miss (or no
+                            # finite band) -> staged host path.
+                            if kind == "fused" and loc in hints:
+                                band_hint[i] = hints[loc]
+                            else:
+                                band_hint.pop(i, None)
+                                force_host.add(i)
                             next_pending.append(i)
                         else:
                             oom_retry.discard(i)
@@ -926,7 +1046,9 @@ class Mapper:
             bpad = _pow2_at_least(n_entries, 8)
             cost = bpad * cap * 512
             if cfg.output_cigar:
-                cost += 4 * cap * bpad * self._bucket_band(cap, True)
+                # Kernel-packed parent stream: ~3*cap/4 byte rows x W lanes
+                # per read (ops/pallas_band.py), plus walk workspace.
+                cost += cap * bpad * self._bucket_band(cap, True)
             return cost
 
         executor = ThreadPoolExecutor(max_workers=DEPTH)

@@ -31,6 +31,11 @@ def _parent(parents: np.ndarray, i: int, j: int, band: int = 0) -> int:
         lane = (j - i + band - (d & 1)) >> 1
     else:
         lane = i
+    if parents.dtype == np.uint8:
+        # Pallas banded layout: 4 steps per byte, step idx = d-2 at row
+        # idx>>2 bit 2*(idx&3) (ops/pallas_band.py).
+        word = parents[(d - 2) >> 2, lane]
+        return (int(word) >> (2 * ((d - 2) & 3))) & 3
     word = parents[d - 2, lane >> 4]
     return (int(word) >> (2 * (lane & 15))) & 3
 

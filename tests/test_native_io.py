@@ -124,3 +124,51 @@ def test_stream_reads_native_matches_python(tmp_path):
     ps = fastx.stream_reads(path)
     pgot = [r for b in ps.batches for r in b]
     assert got == pgot
+
+
+def test_native_cigar_rle_matches_python_spec():
+    """native/cigar.cpp == utils.cigar.cigar_from_codes across modes, SAM
+    convention, and the local target_begin bug-compat flag (randomized op
+    streams incl. empty tracebacks and semiGlobal corner pads)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bioinfo1_tpu import native
+    from bioinfo1_tpu.ops import trace as tr
+    from bioinfo1_tpu.utils import cigar as cg
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    S, B = 259, 40
+    codes = np.full((S, B), 255, np.uint8)
+    meta = []
+    for b in range(B):
+        n_ops = int(rng.integers(0, 200))
+        ops = rng.choice([0, 1, 2], n_ops, p=[0.8, 0.1, 0.1]).astype(np.uint8)
+        codes[:n_ops, b] = ops
+        meta.append((int((ops != 1).sum()), int((ops != 2).sum())))
+    packed = np.asarray(tr.pack_codes(jnp.asarray(codes)))
+
+    for mode in ("global", "local", "semiGlobal"):
+        for sam in (False, True):
+            for ltbe in (False, True) if mode == "local" else (False,):
+                gi = np.array([m[0] for m in meta], np.int32)
+                gj = np.array([m[1] for m in meta], np.int32)
+                if mode == "semiGlobal":
+                    ql = np.where(np.arange(B) % 2 == 0, gi, gi + 7)
+                    tl = np.where(np.arange(B) % 2 == 0, gj + 5, gj)
+                else:
+                    ql, tl = gi + 3, gj + 4
+                nat = native.cigar_rle_batch(
+                    packed, np.arange(B, dtype=np.int32), gi, gj, ql, tl,
+                    mode, sam, ltbe)
+                un = tr.unpack_codes_np(packed)
+                for b in range(B):
+                    want_c, want_tb = cg.cigar_from_codes(
+                        un[:, b], mode, int(gi[b]), int(gj[b]),
+                        int(ql[b]), int(tl[b]), sam_convention=sam,
+                        local_target_begin_end=ltbe)
+                    assert nat[0][b] == want_c, (mode, sam, ltbe, b)
+                    assert nat[1][b] == (want_tb or 0), (mode, sam, ltbe, b)
