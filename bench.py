@@ -209,6 +209,38 @@ def measure_product(genome, mapper):
     return mixed_rps, mixed_bps, cigar_rps
 
 
+def measure_repeat(genome_len=GENOME_LEN):
+    """Repeat-structured genome at product scale (VERDICT r03 item 3):
+    E. coli-like repeat census (utils/simulate.repeat_genome) so the
+    frequency ban, match-budget overflow ladder and repeat-dense LIS
+    actually fire (a uniform-random genome leaves them idle).  Builds its
+    OWN index - call after the other product benches and drop their mapper
+    first (two 4+ GB device indexes do not fit HBM together).
+    Returns {"repeat_reads_per_s", "repeat_counters"}."""
+    import numpy as np
+    from bioinfo1_tpu.pipeline.mapper import (Mapper, MapperConfig,
+                                              MapperCounters)
+    from bioinfo1_tpu.utils import simulate as sim
+
+    rng = np.random.default_rng(SEED + 5)
+    genome = sim.repeat_genome(genome_len, rng)
+    records = sim.simulate_reads(genome, [2000, 4000, 8000] * 342, rng)
+    mapper = Mapper([("ref", genome.tobytes().decode("latin1"))],
+                    MapperConfig())
+    for _ in range(3):
+        before = dict(mapper._band_by_key)
+        mapper.map_records(records)
+        if dict(mapper._band_by_key) == before:
+            break
+    mapper.counters = MapperCounters()
+    t0 = time.time()
+    lines = mapper.map_records(records)
+    dt = time.time() - t0
+    assert len(lines) >= len(records) * 8 // 10, "too few repeat reads mapped"
+    return {"repeat_reads_per_s": len(records) / dt,
+            "repeat_counters": mapper.counters.as_dict()}
+
+
 def measure_baseline(genome, reads):
     """Reference binary reads/s, single-core AND all-cores OpenMP (its
     shipped configuration, team_mapper.cpp:596) - both denominators cached.
@@ -286,35 +318,51 @@ def measure_baseline(genome, reads):
 
 
 def measure_indel(genome, mapper):
-    """ONT-realistic workload (VERDICT r02 item 1): ~12% total error with
-    indels (utils/simulate.py), mixed 2/4/8 kb lengths, through the PRODUCT
-    pipeline.  Returns (reads/s, counters dict) - the counters carry the
-    banded-certificate hit rate and retry-ladder counts."""
+    """ONT-realistic workload (VERDICT r02 item 1 / r03 item 1): ~12% total
+    error with indels (utils/simulate.py), mixed 2/4/8 kb lengths, through
+    the PRODUCT pipeline - BOTH score-only and the full -c CIGAR
+    configuration (the regime a user of the reference's `-c` actually
+    runs).  1,536 reads per measurement, multi-second timed regions.
+    Returns {"indel_reads_per_s", "indel_counters",
+    "cigar_indel_reads_per_s", "cigar_indel_counters"}."""
     import dataclasses
     import numpy as np
     from bioinfo1_tpu.pipeline.mapper import MapperConfig, MapperCounters
     from bioinfo1_tpu.utils import simulate as sim
 
     rng = np.random.default_rng(SEED + 2)
-    lengths = [2000, 4000, 8000] * 43               # 129 reads, 3 buckets
+    lengths = [2000, 4000, 8000] * 512              # 1536 reads, 3 buckets
     records = sim.simulate_reads(genome, lengths, rng)
 
+    def timed(cfg):
+        mapper.cfg = cfg
+        # Warm until the adaptive bands stabilize: the first pass runs at
+        # the default band, certificate misses jump each bucket to its
+        # needed band, and the NEXT pass compiles those specializations -
+        # timing before convergence would charge one-time compiles to the
+        # steady state.
+        for _ in range(4):
+            before = dict(mapper._band_by_key)
+            mapper.map_records(records)
+            if dict(mapper._band_by_key) == before:
+                break
+        mapper.counters = MapperCounters()
+        t0 = time.time()
+        lines = mapper.map_records(records)
+        dt = time.time() - t0
+        assert len(lines) >= len(records) * 9 // 10, "too few reads mapped"
+        return len(records) / dt, mapper.counters.as_dict()
+
+    score_rps, score_counters = timed(MapperConfig())
+    cigar_rps, cigar_counters = timed(MapperConfig(output_cigar=True))
     mapper.cfg = MapperConfig()                     # shared mapper: reset -c
-    # Warm until the adaptive bands stabilize: the first pass runs at the
-    # default band, certificate misses jump each bucket to its needed band,
-    # and the NEXT pass compiles those specializations - timing before
-    # convergence would charge one-time compiles to the steady state.
-    for _ in range(4):
-        before = dict(mapper._band_by_key)
-        mapper.map_records(records)
-        if dict(mapper._band_by_key) == before:
-            break
-    mapper.counters = MapperCounters()
-    t0 = time.time()
-    lines = mapper.map_records(records)
-    dt = time.time() - t0
-    assert len(lines) >= len(records) * 9 // 10, "too few indel reads mapped"
-    return len(records) / dt, mapper.counters.as_dict()
+    return {
+        "indel_reads_per_s": score_rps,
+        "indel_counters": score_counters,
+        "cigar_indel_reads_per_s": cigar_rps,
+        "cigar_indel_counters": cigar_counters,
+        "cigar_indel_pct_of_score": round(100 * cigar_rps / score_rps, 1),
+    }
 
 
 def run_measurement():
@@ -333,10 +381,23 @@ def run_measurement():
     try:
         if product_mapper is None:
             product_mapper = make_product_mapper(genome)
-        indel_rps, indel_counters = measure_indel(genome, product_mapper)
+        indel = measure_indel(genome, product_mapper)
     except Exception as e:
-        indel_rps, indel_counters = None, {"error": str(e)}
+        indel = {"indel_counters": {"error": str(e)}}
         print(f"indel bench failed: {e}", file=sys.stderr)
+    indel_rps = indel.get("indel_reads_per_s")
+    try:
+        # Free the random-genome mapper's ~4.4 GB device index before the
+        # repeat bench builds its own.
+        del product_mapper
+        import gc
+        gc.collect()
+        repeat = measure_repeat()
+    except Exception as e:
+        repeat = {"repeat_counters": {"error": str(e)}}
+        print(f"repeat bench failed: {e}", file=sys.stderr)
+    finally:
+        product_mapper = None
     bl = measure_baseline(genome, reads)
     base = bl["reads_per_s"] if bl else None
     base_omp = bl.get("reads_per_s_omp") if bl else None
@@ -367,7 +428,22 @@ def run_measurement():
                   "indel_vs_baseline":
                       round(indel_rps / base, 2) if (indel_rps and base)
                       else None,
-                  "indel_counters": indel_counters,
+                  "indel_counters": indel.get("indel_counters"),
+                  "cigar_indel_reads_per_s":
+                      round(indel["cigar_indel_reads_per_s"], 2)
+                      if indel.get("cigar_indel_reads_per_s") else None,
+                  "cigar_indel_pct_of_score":
+                      indel.get("cigar_indel_pct_of_score"),
+                  "cigar_indel_counters":
+                      indel.get("cigar_indel_counters"),
+                  "repeat_reads_per_s":
+                      round(repeat["repeat_reads_per_s"], 2)
+                      if repeat.get("repeat_reads_per_s") else None,
+                  "repeat_vs_baseline":
+                      round(repeat["repeat_reads_per_s"] / base, 2)
+                      if (repeat.get("repeat_reads_per_s") and base)
+                      else None,
+                  "repeat_counters": repeat.get("repeat_counters"),
                   "scaling_efficiency_2host": scaling,
                   "platform": jax.default_backend(),
                   "baseline_reads_per_s": round(base, 3) if base else None,
@@ -385,8 +461,8 @@ def main():
         run_measurement()
         return
     # The product benches add a few one-time TPU compiles on a cold
-    # persistent cache; 1500 s bounds the worst case (warm runs take ~2 min).
-    budget_s = int(os.environ.get("BIOINFO1_BENCH_TIMEOUT", "1500"))
+    # persistent cache; 1800 s bounds the worst case (warm runs take ~3 min).
+    budget_s = int(os.environ.get("BIOINFO1_BENCH_TIMEOUT", "1800"))
     for attempt_env in (None, "cpu"):
         env = dict(os.environ, BIOINFO1_BENCH_CHILD="1")
         if attempt_env:

@@ -83,3 +83,58 @@ def simulate_reads(genome: np.ndarray, lengths, rng: np.random.Generator,
 
 def random_genome(n: int, rng: np.random.Generator) -> np.ndarray:
     return BASES[rng.integers(0, 4, n)]
+
+
+def repeat_genome(n: int, rng: np.random.Generator,
+                  is_elements: int = 40, is_len: int = 1300,
+                  rrn_operons: int = 7, rrn_len: int = 5000,
+                  tandem_loci: int = 60, tandem_unit: int = 120,
+                  tandem_copies: int = 12,
+                  divergence: float = 0.01) -> np.ndarray:
+    """E. coli-like repeat-structured genome (VERDICT r03 item 3).
+
+    A uniform-random genome never fires the mapper's repeat machinery (the
+    frequency ban, match-budget overflow ladder, repeat-dense LIS); real
+    genomes do.  This generator plants the K-12 repeat census into a random
+    backbone:
+
+      * ``is_elements`` copies of a shared insertion-sequence-like unit
+        (IS1/IS2/IS5 analogs: ~40 copies of ~0.8-1.5 kb in K-12),
+      * ``rrn_operons`` near-identical rRNA-operon-like regions (~5 kb -
+        K-12 has 7), and
+      * ``tandem_loci`` short tandem-repeat loci (unit repeated many times
+        back to back - REP/BIME-like).
+
+    Each planted copy is independently mutated at ``divergence`` so copies
+    are near- but not perfectly identical (like real paralogs).  Placement
+    is uniform without overlap handling (overwrites are fine - real
+    elements nest too).  Returns uint8 bytes of length n.
+    """
+    g = BASES[rng.integers(0, 4, n)]
+
+    def mutate(unit):
+        u = unit.copy()
+        pos = rng.integers(0, len(u), max(1, int(len(u) * divergence)))
+        u[pos] = BASES[rng.integers(0, 4, len(pos))]
+        return u
+
+    def plant(unit, copies):
+        for _ in range(copies):
+            u = mutate(unit)
+            if rng.random() < 0.5:                       # either strand
+                comp = np.arange(256, dtype=np.uint8)
+                for a, b in zip(b"ATGC", b"TACG"):
+                    comp[a] = b
+                u = comp[u[::-1]]
+            start = int(rng.integers(0, max(1, n - len(u))))
+            g[start:start + len(u)] = u[: n - start]
+
+    for _ in range(3):                                   # IS1/IS2/IS5-like
+        plant(BASES[rng.integers(0, 4, is_len)], max(1, is_elements // 3))
+    plant(BASES[rng.integers(0, 4, rrn_len)], rrn_operons)
+    for _ in range(tandem_loci):
+        unit = BASES[rng.integers(0, 4, tandem_unit)]
+        arr = np.concatenate([mutate(unit) for _ in range(tandem_copies)])
+        start = int(rng.integers(0, max(1, n - len(arr))))
+        g[start:start + len(arr)] = arr[: n - start]
+    return g

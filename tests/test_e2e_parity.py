@@ -110,6 +110,28 @@ def test_indel_heavy_parity(tmp_path, oracle_bin):
     _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
 
 
+def test_repeat_genome_parity(tmp_path, oracle_bin):
+    """Repeat-structured genome (IS-like elements, rRNA-operon analogs,
+    tandem loci - utils/simulate.repeat_genome): repeat-dense minimizer
+    hits drive the frequency ban, match-budget overflow ladder and
+    repeat-heavy LIS, and the output must still byte-match the reference
+    (VERDICT r03 item 3)."""
+    import numpy as np
+    from bioinfo1_tpu.utils import simulate as sim
+    rng = np.random.default_rng(347)
+    genome = sim.repeat_genome(60000, rng, is_elements=12, is_len=900,
+                               rrn_operons=3, rrn_len=2500,
+                               tandem_loci=15, tandem_unit=90,
+                               tandem_copies=8)
+    ref_path = str(tmp_path / "ref.fasta")
+    _write_fasta(ref_path, [("refseq", genome.tobytes().decode("latin1"))])
+    lengths = [int(rng.integers(300, 2500)) for _ in range(18)]
+    reads = sim.simulate_reads(genome, lengths, rng)
+    reads_path = str(tmp_path / "reads.fasta")
+    _write_fasta(reads_path, reads)
+    _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
+
+
 def _normalize_stat_ties(text: str) -> str:
     """The 'most frequent surviving minimizer' stat reports WHICH hash won a
     frequency tie in unordered_map iteration order - unspecified in C++
