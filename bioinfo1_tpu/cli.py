@@ -74,6 +74,20 @@ def _write_progress(path: str, completed: int, total, part_bytes) -> None:
     os.replace(tmp, path)
 
 
+def _peer_failure_exit(err, e) -> "NoReturn":
+    """Fatal multi-host peer failure: report and exit WITHOUT running
+    Python atexit hooks - jax.distributed's shutdown barrier would block
+    against the dead peer for its own timeout and then abort the process
+    with an opaque fatal, hiding the actionable message."""
+    print(str(e), file=err)
+    try:
+        err.flush()
+        sys.stdout.flush()
+    except Exception:
+        pass
+    os._exit(1)
+
+
 def _resume_state(progress_path: str, part_path: str):
     """(start_at, "a") for --resume.  Output lines are flushed BEFORE the
     progress file updates, so a crash in that window leaves lines beyond
@@ -264,6 +278,11 @@ def main(argv: Optional[List[str]] = None,
 
     import jax
     nproc = jax.process_count()
+    # Liveness-aware merge channel, opened BEFORE mapping: a peer that dies
+    # mid-run fails the whole job in seconds (naming the resumable part
+    # files) instead of stalling the merge for its multi-hour timeout.
+    merge_sess = (ps.MergeSession(part_hint=out_path or "")
+                  if nproc > 1 else None)
 
     # Constant-memory streaming (the reference's 1 GB FASTQ chunk loop,
     # team_mapper.cpp:534-545): engaged for file output without -s stats
@@ -346,19 +365,28 @@ def main(argv: Optional[List[str]] = None,
             if (resume and os.path.exists(progress_path)
                     and os.path.exists(part_path)):
                 start_at, fmode = _resume_state(progress_path, part_path)
-            with timers.stage("map"), open(part_path, fmode) as pf:
-                for done, lines in mapper.map_records_iter(
-                        local_records, per_read_stats=per_read_stats,
-                        start_at=start_at):
-                    for line in lines:
-                        print(line, file=pf)
-                    pf.flush()
-                    _write_progress(progress_path, done,
-                                    len(local_records), pf.tell())
+            try:
+                with timers.stage("map"), open(part_path, fmode) as pf:
+                    for done, lines in mapper.map_records_iter(
+                            local_records, per_read_stats=per_read_stats,
+                            start_at=start_at):
+                        for line in lines:
+                            print(line, file=pf)
+                        pf.flush()
+                        _write_progress(progress_path, done,
+                                        len(local_records), pf.tell())
+                        # Abort (resumably) within seconds of a peer dying
+                        # rather than mapping to completion first.
+                        merge_sess.check()
+            except RuntimeError as e:
+                _peer_failure_exit(err, e)
             with open(part_path) as pf:
                 local_lines = pf.read().splitlines()
-            with timers.stage("merge"):
-                merged = ps.gather_lines_to_process0(local_lines)
+            try:
+                with timers.stage("merge"):
+                    merged = merge_sess.gather(local_lines)
+            except RuntimeError as e:
+                _peer_failure_exit(err, e)
             if merged is not None:
                 with open(out_path, "w") as sink:
                     for line in merged:
@@ -368,8 +396,11 @@ def main(argv: Optional[List[str]] = None,
         with timers.stage("map"):
             local_lines = mapper.map_records(local_records,
                                              per_read_stats=per_read_stats)
-        with timers.stage("merge"):
-            merged = ps.gather_lines_to_process0(local_lines)
+        try:
+            with timers.stage("merge"):
+                merged = merge_sess.gather(local_lines)
+        except RuntimeError as e:
+            _peer_failure_exit(err, e)
         if merged is not None:
             for line in merged:
                 print(line, file=out)

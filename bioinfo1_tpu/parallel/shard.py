@@ -236,6 +236,248 @@ def _recv_exact(conn, size: int) -> bytes:
     return b"".join(chunks)
 
 
+class MergeSession:
+    """Liveness-aware merge channel (VERDICT r03 item 7).
+
+    The plain p2p merge only detects a dead peer after the full merge
+    timeout (hours): process 0 sits in accept() while the failed process
+    never connects.  A MergeSession is created on every process BEFORE the
+    map stage: non-zero processes open one TCP connection to process 0
+    immediately and heartbeat every BIOINFO1_HB_INTERVAL (default 5 s)
+    from a daemon thread; the PAF blob rides the same connection at merge
+    time (framed, acked).  Process 0 watches the connections while it maps:
+    a connection that closes early, goes silent past BIOINFO1_HB_GRACE
+    (default 30 s), or never registers fails the run in SECONDS with a
+    message naming the dead process and the resumable part files.
+
+    Single-process runs are a no-op; when no merge host is derivable the
+    session degrades to the allgather merge (no liveness - collective ops
+    already fail fast on peer loss).
+    """
+
+    HELLO, HEARTBEAT, DATA, ACK = b"R", b"H", b"D", b"A"
+
+    def __init__(self, part_hint: str = ""):
+        import os
+        import threading
+        self.p = jax.process_index()
+        self.n = jax.process_count()
+        self.part_hint = part_hint
+        self.mode = "p2p"
+        if self.n == 1:
+            self.mode = "single"
+            return
+        if (os.environ.get("BIOINFO1_MERGE") == "allgather"
+                or _merge_endpoint()[0] is None):
+            self.mode = "allgather"
+            return
+        self.hb_interval = float(os.environ.get("BIOINFO1_HB_INTERVAL", 5))
+        self.hb_grace = float(os.environ.get("BIOINFO1_HB_GRACE", 30))
+        self.timeout = float(os.environ.get("BIOINFO1_MERGE_TIMEOUT", 21600))
+        import time as _t
+        self.start_time = _t.time()
+        self._lock = threading.Lock()
+        self.blobs: dict = {}
+        self.dead: dict = {}
+        self.registered: set = set()
+        self._send_done = threading.Event()
+        self._send_err: list = []
+        self._blob_ready = threading.Event()
+        self._blob = b""
+        self._debug(f"session created p={self.p}/{self.n}")
+        if self.p == 0:
+            import socket
+            host, port = _merge_endpoint()
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind(("0.0.0.0", port))
+            srv.listen(self.n)
+            srv.settimeout(1.0)
+            self._srv = srv
+            self._closing = False
+            t = threading.Thread(target=self._accept_loop, daemon=True)
+            t.start()
+        else:
+            t = threading.Thread(target=self._sender_loop, daemon=True)
+            t.start()
+
+    # ---- process 0 ----
+    def _accept_loop(self):
+        import threading
+        while not self._closing:
+            try:
+                conn, _a = self._srv.accept()
+            except OSError:
+                continue
+            threading.Thread(target=self._reader, args=(conn,),
+                             daemon=True).start()
+
+    def _reader(self, conn):
+        import struct
+        import time as _t
+        pid = -1
+        try:
+            conn.settimeout(self.hb_grace)
+            hdr = _recv_exact(conn, 5)
+            if hdr[:1] != self.HELLO:
+                raise RuntimeError("bad hello frame")
+            pid = struct.unpack("<i", hdr[1:])[0]
+            with self._lock:
+                self.registered.add(pid)
+            while True:
+                t = _recv_exact(conn, 1)
+                if t == self.HEARTBEAT:
+                    continue                      # settimeout re-arms
+                if t == self.DATA:
+                    size = struct.unpack("<q", _recv_exact(conn, 8))[0]
+                    blob = _recv_exact(conn, size)
+                    with self._lock:
+                        self.blobs[pid] = blob
+                    conn.sendall(self.ACK)
+                    return
+                raise RuntimeError(f"bad frame type {t!r}")
+        except Exception as e:
+            with self._lock:
+                if pid not in self.blobs:
+                    self.dead[pid] = repr(e)
+            self._debug(f"reader for process {pid} ended: {e!r}")
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _debug(msg):
+        import os
+        import sys
+        import time as _t
+        if os.environ.get("BIOINFO1_DEBUG_MERGE"):
+            print(f"bioinfo1-merge[{_t.time():.1f}]: {msg}",
+                  file=sys.stderr, flush=True)
+
+    # ---- non-zero processes ----
+    def _sender_loop(self):
+        import socket
+        import struct
+        import time as _t
+        host, port = _merge_endpoint()
+        deadline = _t.time() + max(self.hb_grace * 4, 120)
+        sock = None
+        try:
+            last = None
+            while _t.time() < deadline and sock is None:
+                try:
+                    sock = socket.create_connection((host, port), timeout=10)
+                except OSError as e:
+                    last = e
+                    _t.sleep(0.2)
+            if sock is None:
+                raise RuntimeError(f"cannot reach merge host: {last}")
+            sock.settimeout(self.timeout)
+            sock.sendall(self.HELLO + struct.pack("<i", self.p))
+            while not self._blob_ready.wait(self.hb_interval):
+                sock.sendall(self.HEARTBEAT)
+            blob = self._blob
+            sock.sendall(self.DATA + struct.pack("<q", len(blob)))
+            sock.sendall(blob)
+            if _recv_exact(sock, 1) != self.ACK:
+                raise RuntimeError("merge ack missing")
+        except Exception as e:
+            self._send_err.append(
+                f"merge to process 0 failed (process 0 dead or "
+                f"unreachable): {e}")
+        finally:
+            if sock is not None:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            self._send_done.set()
+
+    def _fail_msg(self, pid, why):
+        hint = (f"; completed work is checkpointed in "
+                f"{self.part_hint}.part<p>/.progress.p<p> - rerun all "
+                f"processes with --resume" if self.part_hint else
+                "; rerun to retry")
+        return (f"bioinfo1: peer process {pid} failed during the run "
+                f"({why}){hint}")
+
+    def check(self):
+        """Raise RuntimeError now if a peer is already known dead.
+
+        Call from the map loop so a run aborts (resumably) within seconds
+        of a peer failure instead of only at merge time."""
+        if self.mode != "p2p":
+            return
+        if self.p == 0:
+            with self._lock:
+                for pid, why in self.dead.items():
+                    raise RuntimeError(self._fail_msg(pid, why))
+        elif self._send_err:
+            raise RuntimeError(self._send_err[0])
+
+    def gather(self, lines):
+        """Merge this process's lines; list on process 0, None elsewhere.
+
+        Raises RuntimeError promptly when a peer (or process 0) is dead.
+        """
+        import time as _t
+        if self.mode == "single":
+            return list(lines)
+        if self.mode == "allgather":
+            import sys
+            print("bioinfo1: no merge host derivable "
+                  "(set BIOINFO1_MERGE_HOST or JAX_COORDINATOR_ADDRESS); "
+                  "using allgather merge (no liveness)", file=sys.stderr)
+            return _gather_lines_allgather(lines)
+        self._debug("gather entered")
+        blob = ("\n".join(lines)).encode("utf-8")
+        if self.p != 0:
+            self._blob = blob
+            self._blob_ready.set()
+            if not self._send_done.wait(self.timeout):
+                raise RuntimeError("merge send timed out")
+            if self._send_err:
+                raise RuntimeError(self._send_err[0])
+            return None
+        self.blobs[0] = blob
+        deadline = _t.time() + self.timeout
+        reg_deadline = self.start_time + max(self.hb_grace * 4, 120)
+        while True:
+            with self._lock:
+                if len(self.blobs) == self.n:
+                    break
+                for pid, why in self.dead.items():
+                    raise RuntimeError(self._fail_msg(pid, why))
+                if _t.time() > reg_deadline:
+                    missing = [p for p in range(1, self.n)
+                               if p not in self.registered]
+                    if missing:
+                        raise RuntimeError(self._fail_msg(
+                            missing[0], "never connected to the merge "
+                            "liveness channel"))
+            if _t.time() > deadline:
+                raise RuntimeError("merge timed out")
+            _t.sleep(0.05)
+        self.close()
+        merged = []
+        for i in range(self.n):
+            text = self.blobs[i].decode("utf-8")
+            if text:
+                merged.extend(text.split("\n"))
+        return merged
+
+    def close(self):
+        if getattr(self, "_srv", None) is not None:
+            self._closing = True
+            try:
+                self._srv.close()
+            except OSError:
+                pass
+            self._srv = None
+
+
 def gather_lines_to_process0(lines):
     """Deterministic multi-host merge of output lines to process 0.
 

@@ -137,6 +137,111 @@ def test_four_process_cli_file_output_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_peer_death_fails_fast_and_resumes(tmp_path):
+    """Elastic failure handling (VERDICT r03 item 7): SIGKILL one of four
+    processes mid-run; the survivors must fail within seconds (not the
+    multi-hour merge timeout) with a message naming the part files, and a
+    full --resume rerun must produce output byte-identical to an
+    uninterrupted run."""
+    import json
+    import signal
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(23)
+    genome = "".join("CATG"[i] for i in rng.integers(0, 4, 40000))
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(f">ref\n{genome}\n")
+    # Enough per-process work (60 reads x several flushes each) that the
+    # SIGKILL lands while the victim is still MAPPING - small jobs finish
+    # before the kill and degenerate into a plain successful run.
+    reads_f = tmp_path / "reads.fasta"
+    with open(reads_f, "w") as fh:
+        for r in range(240):
+            start = int(rng.integers(0, 38500))
+            fh.write(f">r{r}\n{genome[start:start + 1200]}\n")
+
+    base_env = dict(os.environ)
+    base_env.pop("XLA_FLAGS", None)
+    base_env.pop("JAX_COORDINATOR_ADDRESS", None)
+    base_env["BIOINFO1_PLATFORM"] = "cpu"
+    base_env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/bioinfo1_tpu_jax_cache"
+    base_env["BIOINFO1_HB_INTERVAL"] = "1"
+    base_env["BIOINFO1_HB_GRACE"] = "8"
+
+    single_out = tmp_path / "single.paf"
+    args1 = ["-m", "bioinfo1_tpu.cli", "-k", "9", "-w", "3",
+             "--batch-size", "2", "-o", str(single_out),
+             str(ref), str(reads_f)]
+    single = subprocess.run([sys.executable] + args1, env=base_env, cwd=repo,
+                            capture_output=True, text=True, timeout=420)
+    assert single.returncode == 0, single.stderr
+
+    multi_out = tmp_path / "multi.paf"
+    args4 = ["-m", "bioinfo1_tpu.cli", "-k", "9", "-w", "3",
+             "--batch-size", "2", "-o", str(multi_out),
+             str(ref), str(reads_f)]
+
+    def launch(extra=()):
+        port = _free_port()
+        procs = []
+        for pid in range(4):
+            env = dict(base_env)
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+            env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+            env["JAX_NUM_PROCESSES"] = "4"
+            env["JAX_PROCESS_ID"] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable] + args4 + list(extra), env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        return procs
+
+    procs = launch()
+    # Kill process 2 as soon as it has checkpointed SOME progress but is
+    # still far from done (so the resume actually exercises its part file).
+    victim = 2
+    prog = str(multi_out) + f".progress.p{victim}"
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline:
+        if procs[victim].poll() is not None:
+            break                         # finished too fast - still valid
+        if os.path.exists(prog):
+            try:
+                done = json.load(open(prog)).get("completed_reads", 0)
+            except ValueError:
+                continue
+            if 0 < done < 40:
+                procs[victim].send_signal(signal.SIGKILL)
+                killed = True
+                break
+            if done >= 40:
+                break                     # too late to kill mid-run
+        time.sleep(0.02)
+
+    outs = []
+    t_kill = time.time()
+    for i, p in enumerate(procs):
+        out, perr = p.communicate(timeout=420)
+        outs.append((p.returncode, out, perr))
+    detect_s = time.time() - t_kill
+    if killed:
+        # Process 0 must fail fast and name the recovery path.
+        rc0, _, err0 = outs[0]
+        assert rc0 != 0, "process 0 should fail when a peer dies"
+        assert "--resume" in err0, err0
+        assert f"process {victim}" in err0, err0
+        assert detect_s < 120, f"took {detect_s:.0f}s to fail"
+
+    # Recovery: rerun all four with --resume; merged output must be exact.
+    procs = launch(extra=["--resume"])
+    for p in procs:
+        out, perr = p.communicate(timeout=420)
+        assert p.returncode == 0, perr
+    assert multi_out.read_text() == single_out.read_text()
+
+
+@pytest.mark.slow
 def test_two_process_mesh_matches_single(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
