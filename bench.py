@@ -193,7 +193,14 @@ def measure_product(genome, mapper):
     cfg = MapperConfig()        # CLI defaults (batch_size=512)
 
     def timed(records):
-        mapper.map_records(records)                      # warm/compile
+        # Warm until the adaptive bands stop moving: a band that tightens
+        # after the first pass would otherwise put a fresh specialization's
+        # compile inside the timed region.
+        for _ in range(4):
+            before = dict(mapper._band_by_key)
+            mapper.map_records(records)                  # warm/compile
+            if dict(mapper._band_by_key) == before:
+                break
         t0 = time.time()
         lines = mapper.map_records(records)
         dt = time.time() - t0
@@ -207,6 +214,85 @@ def measure_product(genome, mapper):
     mapper.cfg = dataclasses.replace(cfg, output_cigar=True)
     cigar_rps = len(cig) / timed(cig)
     return mixed_rps, mixed_bps, cigar_rps
+
+
+def measure_sol():
+    """Speed-of-light roofline check (VERDICT r03 item 2, PERFORMANCE.md
+    'Roofline').  Measures (a) the chip's sustained VPU int32 add/max
+    throughput with a Pallas microkernel (ILP chains, unrolled body - the
+    DP fill is VPU-bound, not MXU/HBM-bound) and (b) the banded kernel's
+    band-cell fill rate at the 8 kb/-c shape, both timed by in-jit
+    repetition difference so the flaky transfer link cancels out.  The
+    essential DP recurrence is 7 int32 vector ops per cell (cmp+sel for
+    the substitution, 3 adds, 2 maxes), so SoL cells/s = vpu_ops/s / 7."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    SHAPE, ILP, KU = (256, 1024), 4, 32
+
+    def kern(n_iter, x_ref, o_ref):
+        accs = [x_ref[...] + (i + 1) for i in range(ILP)]
+
+        def body(i, accs):
+            for _ in range(KU):
+                accs = [jnp.maximum(a + i, a) for a in accs]
+            return accs
+
+        accs = jax.lax.fori_loop(0, n_iter, body, accs)
+        r = accs[0]
+        for a in accs[1:]:
+            r = jnp.maximum(r, a)
+        o_ref[...] = r
+
+    def run_vpu(n_iter):
+        f = pl.pallas_call(functools.partial(kern, n_iter),
+                           out_shape=jax.ShapeDtypeStruct(SHAPE, jnp.int32))
+        g = jax.jit(lambda x: jnp.sum(f(x)))
+        x = jnp.ones(SHAPE, jnp.int32)
+        jax.device_get(g(x))
+        t0 = time.time()
+        jax.device_get(g(x))
+        return time.time() - t0
+
+    d1 = run_vpu(100)
+    d2 = run_vpu(1100)
+    vpu_ops = SHAPE[0] * SHAPE[1] * 1000 * KU * 2 * ILP / max(d2 - d1, 1e-9)
+
+    from bioinfo1_tpu.ops import pallas_band as pb
+    rng = np.random.default_rng(SEED)
+    bases = np.frombuffer(b"CATG", dtype=np.uint8)
+    n, W, B = 8192, 1024, 512
+    q = jnp.asarray(bases[rng.integers(0, 4, (B, n))])
+    t = jnp.asarray(bases[rng.integers(0, 4, (B, 2 * n))])
+    ql = jnp.full(B, n, jnp.int32)
+    tl = jnp.full(B, n + W // 2, jnp.int32)
+
+    def run_fill(reps):
+        @jax.jit
+        def g(q, t):
+            def body(i, acc):
+                q2 = jnp.bitwise_xor(q, (i % 2).astype(jnp.uint8))
+                r = pb.align_scores_banded(
+                    q2, ql, t, tl, jnp.int32(1), jnp.int32(-1),
+                    jnp.int32(-1), band=W, mode=0)
+                return acc + jnp.sum(r.score) + i
+
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        jax.device_get(g(q, t))
+        t0 = time.time()
+        jax.device_get(g(q, t))
+        return time.time() - t0
+
+    dt = (run_fill(5) - run_fill(1)) / 4
+    cells_per_s = B * (2 * n + W // 2) * W / max(dt, 1e-9)
+    sol_cells = vpu_ops / 7.0
+    return {"vpu_int32_tops": round(vpu_ops / 1e12, 3),
+            "band_cells_per_s_g": round(cells_per_s / 1e9, 1),
+            "gcups_sol_pct": round(100 * cells_per_s / sol_cells, 1)}
 
 
 def measure_repeat(genome_len=GENOME_LEN):
@@ -398,6 +484,11 @@ def run_measurement():
         print(f"repeat bench failed: {e}", file=sys.stderr)
     finally:
         product_mapper = None
+    try:
+        sol = measure_sol()
+    except Exception as e:
+        sol = {"error": str(e)}
+        print(f"sol bench failed: {e}", file=sys.stderr)
     bl = measure_baseline(genome, reads)
     base = bl["reads_per_s"] if bl else None
     base_omp = bl.get("reads_per_s_omp") if bl else None
@@ -444,6 +535,7 @@ def run_measurement():
                       if (repeat.get("repeat_reads_per_s") and base)
                       else None,
                   "repeat_counters": repeat.get("repeat_counters"),
+                  "sol": sol,
                   "scaling_efficiency_2host": scaling,
                   "platform": jax.default_backend(),
                   "baseline_reads_per_s": round(base, 3) if base else None,

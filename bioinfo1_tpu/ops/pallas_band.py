@@ -83,7 +83,18 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
             jnp.where(lanes128 == off, chunk_s[...].astype(jnp.int32), 0),
             axis=1, keepdims=True)
 
-    def step(d, carry):
+    def make_step(borders, goal):
+        return functools.partial(step, borders, goal)
+
+    def step(borders, goal, d, carry):
+        """One anti-diagonal.  ``borders``/``goal`` are STATIC phase flags:
+        for d >= W+2 the band interior cannot touch row 0 / column 0 (min
+        i_lane = ceil((d-W)/2) >= 1, same for j_lane) and no lane is
+        outside the matrix, so the three border masks are provably no-ops;
+        in mode 0 the goal capture only ever fires at d == ql+tl, so steps
+        before the tile's smallest real goal skip that bookkeeping too.
+        Stripping both from the long middle phase removes ~14 of ~36
+        vector ops per cell (the sweep is VPU-bound)."""
         score, bc, bi, bj, cc, ci, rc, rj, pacc = carry
         p = jax.lax.rem(d, 2)
         i0 = (d + W) // 2                                  # row at lane 0
@@ -152,9 +163,10 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
         j_lane = d - i_lane
         if mode == 1:
             h = jnp.maximum(h, 0)                          # local clamp
-        h = jnp.where(i_lane == 0, j_lane * init, h)       # row 0
-        h = jnp.where(j_lane == 0, i_lane * init, h)       # col 0
-        h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
+        if borders:
+            h = jnp.where(i_lane == 0, j_lane * init, h)   # row 0
+            h = jnp.where(j_lane == 0, i_lane * init, h)   # col 0
+            h = jnp.where((i_lane < 0) | (j_lane < 0), _NEG, h)
 
         if want_parents:
             # Pack 4 consecutive steps' 2-bit parents into one byte in a
@@ -185,7 +197,7 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
                 cp.start()
                 cp.wait()
 
-        if mode == 0:
+        if mode == 0 and goal:
             # Goal (ql, tl): captured on its anti-diagonal at its band lane.
             hit = d == (ql + tl)
             lstar = (tl - ql + W - p) // 2
@@ -241,10 +253,23 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
     pacc0 = jnp.zeros((BT, W) if want_parents else (BT, 1), jnp.int32)
     carry0 = (zero, neg, zero, zero, zero, zero, zero, zero, pacc0)
     # Every goal rule only reads cells with d <= ql + tl, so the sweep stops
-    # at the tile's largest one (dynamic bound).
+    # at the tile's largest one (dynamic bound).  Phases (see step):
+    # [2, W+2) with borders; then border-free, and for mode 0 the goal
+    # capture only runs from the tile's smallest real goal diagonal on.
     d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
-    score, bc, bi, bj, cc, ci, rc, rj, _ = jax.lax.fori_loop(
-        2, d_stop + 1, step, carry0)
+    d_border = jnp.minimum(jnp.int32(W + 2), d_stop + 1)
+    carry = jax.lax.fori_loop(2, d_border, make_step(True, True), carry0)
+    if mode == 0:
+        d_goal = jnp.min(jnp.where(ql > 0, ql + tl, jnp.int32(2**30)))
+        d_goal = jnp.clip(d_goal, d_border, d_stop + 1)
+        carry = jax.lax.fori_loop(d_border, d_goal,
+                                  make_step(False, False), carry)
+        carry = jax.lax.fori_loop(d_goal, d_stop + 1,
+                                  make_step(False, True), carry)
+    else:
+        carry = jax.lax.fori_loop(d_border, d_stop + 1,
+                                  make_step(False, True), carry)
+    score, bc, bi, bj, cc, ci, rc, rj, _ = carry
     if mode == 0:
         score_ref[...] = score
         gi_ref[...] = ql
