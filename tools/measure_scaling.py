@@ -33,7 +33,26 @@ def _free_port():
     return port
 
 
-def run_config(nproc: int, tmpdir: str) -> dict:
+def write_reads(tmpdir: str) -> str:
+    """Deterministic shared workload file: 8,192 x 1 kb ONT-like reads
+    (sized so the single-process region is ~20 s - large enough that
+    eff(2) is not defined by run-to-run noise; VERDICT r03 item 6)."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    genome = "".join("CATG"[i] for i in rng.integers(0, 4, 200_000))
+    n_reads, read_len = 8192, 1000
+    path = os.path.join(tmpdir, "reads.fasta")
+    with open(path, "w") as fh:
+        for r in range(n_reads):
+            start = int(rng.integers(0, len(genome) - read_len))
+            seq = list(genome[start:start + read_len])
+            for e in rng.integers(0, read_len, read_len // 50):
+                seq[e] = "CATG"[int(rng.integers(0, 4))]
+            fh.write(f">r{r}\n{''.join(seq)}\n")
+    return path
+
+
+def run_config(nproc: int, tmpdir: str, reads_path: str) -> dict:
     port = _free_port() if nproc > 1 else 0
     out_path = os.path.join(tmpdir, f"scaling_{nproc}.json")
     have_taskset = shutil.which("taskset") is not None
@@ -43,7 +62,7 @@ def run_config(nproc: int, tmpdir: str) -> dict:
         env.pop("XLA_FLAGS", None)
         env.pop("JAX_COORDINATOR_ADDRESS", None)
         cmd = [sys.executable, WORKER, str(port), str(pid), str(nproc),
-               out_path]
+               reads_path, out_path]
         if have_taskset:
             cmd = ["taskset", "-c", str(pid % os.cpu_count())] + cmd
         procs.append(subprocess.Popen(cmd, env=env, cwd=REPO,
@@ -63,19 +82,27 @@ def main():
     # Always include a 4-process point even when it oversubscribes the
     # cores (VERDICT r02 item 4): its efficiency is then core-bound, but
     # its merge stage still measures the real P=4 gather-to-process-0 cost.
-    configs = sorted({1, 2, 4} | {n for n in (8,) if n <= cores})
+    # 8-process point always included (pod-ish process count): on a
+    # 2-core box it is oversubscribed 4x - its efficiency is core-bound,
+    # but its parse/merge stage times still measure the real P=8 costs.
+    configs = sorted({1, 2, 4, 8})
     results = {}
     with tempfile.TemporaryDirectory() as tmpdir:
+        reads_path = write_reads(tmpdir)
         for n in configs:
-            r = run_config(n, tmpdir)
+            r = run_config(n, tmpdir, reads_path)
             r["oversubscribed"] = n > cores
             results[n] = r
-            print(f"nproc={n}: {r['map_s']:.2f}s "
+            print(f"nproc={n}: map {r['map_only_s']:.2f}s + merge "
+                  f"{r['merge_s']:.3f}s + parse {r['parse_s']:.2f}s "
                   f"({r['reads_per_s']:.1f} reads/s)", flush=True)
-    t1 = results[1]["map_s"]
+    def total(r):
+        return r["parse_s"] + r["map_only_s"] + r["merge_s"]
+    t1 = total(results[1])
     payload = {
-        "workload": "4096 x 1kb ONT-like reads vs 200kb synthetic genome, "
-                    "k=15 w=5 f=0.001, product path (Mapper + PAF gather)",
+        "workload": "8192 x 1kb ONT-like reads vs 200kb synthetic genome, "
+                    "k=15 w=5 f=0.001, product path (sliced parse + "
+                    "Mapper + MergeSession gather), per-stage times",
         "method": "strong scaling, one process per simulated host, each "
                   "pinned to one physical core with one single-threaded "
                   "XLA CPU device; eff(N) = T1/(N*TN); configs with "
@@ -83,8 +110,16 @@ def main():
                   "merge overhead, not compute scaling",
         "physical_cores": cores,
         "configs": {str(n): results[n] for n in configs},
-        "efficiency": {str(n): t1 / (n * results[n]["map_s"])
+        # Efficiency over the WHOLE per-run cost (parse + map + merge):
+        # map-only scaling on separate cores is ~perfect, so eff measured
+        # on it alone jitters around 1.0 and reads superlinear; the
+        # distribution overheads (sliced parse, merge) are the real cost
+        # of adding hosts and belong in the number.
+        "efficiency": {str(n): t1 / (n * total(results[n]))
                        for n in configs},
+        "efficiency_map_only": {
+            str(n): results[1]["map_only_s"] / (n * results[n]["map_only_s"])
+            for n in configs},
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
         json.dump(payload, fh, indent=1)

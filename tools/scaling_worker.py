@@ -1,11 +1,14 @@
 """Worker for the multi-host scaling-efficiency measurement.
 
 One process == one simulated host: pinned to a single CPU core by the
-orchestrator (tools/measure_scaling.py), one virtual XLA CPU device, mapping
-its contiguous slice of the global read set through the PRODUCT path
-(pipeline.mapper.Mapper + parallel.shard.gather_lines_to_process0).
+orchestrator (tools/measure_scaling.py), one virtual XLA CPU device,
+running the PRODUCT path end to end with per-stage timing (VERDICT r03
+item 6): sliced FASTA parse (io/fastx.parse_reads_slice - the real
+multi-host ingestion), Mapper mapping, and the liveness-aware
+MergeSession gather to process 0.
 
-Usage: python tools/scaling_worker.py <port> <pid> <nproc> <out.json>
+Usage: python tools/scaling_worker.py <port> <pid> <nproc> <reads.fasta>
+       <out.json>
 (port 0 => single-process mode, no jax.distributed)
 """
 
@@ -16,8 +19,9 @@ import time
 
 
 def main():
-    port, pid, nproc, out_path = (int(sys.argv[1]), int(sys.argv[2]),
-                                  int(sys.argv[3]), sys.argv[4])
+    port, pid, nproc, reads_path, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+        sys.argv[4], sys.argv[5])
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=1")
     import jax
@@ -36,52 +40,65 @@ def main():
     import numpy as np
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from bioinfo1_tpu.io import fastx
     from bioinfo1_tpu.parallel import shard as ps
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
 
-    # Deterministic synthetic workload (shared by every process).
     rng = np.random.default_rng(42)
     genome = "".join("CATG"[i] for i in rng.integers(0, 4, 200_000))
-    # 4096 reads = dozens of 64-read batches per process at every pow-2 (and
-    # so on for pow-2 nproc): every batch shares ONE canonical jit shape, so
-    # the warm-up covers everything and no compile lands in the timed region.
-    n_reads, read_len = 4096, 1000
-    records = []
-    for r in range(n_reads):
-        start = int(rng.integers(0, len(genome) - read_len))
-        seq = list(genome[start:start + read_len])
-        for e in rng.integers(0, read_len, read_len // 50):  # 2% errors
-            seq[e] = "CATG"[int(rng.integers(0, 4))]
-        records.append((f"r{r}", "".join(seq)))
 
     cfg = MapperConfig(batch_size=64, devices=1)
     mapper = Mapper([("ref", genome)], cfg)
 
-    lo, hi = ps.process_read_slice(len(records))
-    local = records[lo:hi]
+    # Stage 1: sliced parse (each host materializes only its record slice,
+    # like the CLI's multi-host ingestion path).
+    t0 = time.perf_counter()
+    if nproc > 1:
+        _, total = fastx.parse_reads_slice(reads_path, 0, 0)
+        lo, hi = ps.process_read_slice(total)
+        reads, _ = fastx.parse_reads_slice(reads_path, lo, hi)
+    else:
+        reads = fastx.parse_reads(reads_path)
+        total = len(reads.records)
+    parse_s = time.perf_counter() - t0
+    local = reads.records
 
     # Warm-up: compile every bucket shape (shared persistent cache).
     mapper.map_records(local[: cfg.batch_size])
 
-    # Best of 3 timed repetitions (the region is sub-second; min damps OS
-    # scheduling noise).  Barrier before each so processes start together.
-    dt = float("inf")
+    # Median of 3 timed repetitions (min overstates scaling when one rep
+    # benefits from a quiet machine; median damps OS scheduling noise both
+    # ways).  Barrier before each so processes start together.
+    map_ts, merge_ts = [], []
     merged = None
-    for _ in range(3):
+    for rep in range(3):
         if nproc > 1:
+            # One-shot channel per rep, each on its OWN port: reusing a
+            # port races a new sender against the previous session's
+            # still-open reader threads.  Created before the barrier so
+            # the early-connect overlaps the map stage like the CLI's.
+            os.environ["BIOINFO1_MERGE_PORT"] = str(port + 101 + rep)
+            merge = ps.MergeSession()
             from jax.experimental import multihost_utils as mhu
             mhu.process_allgather(np.int32(pid))
         t0 = time.perf_counter()
         lines = mapper.map_records(local)
-        merged = ps.gather_lines_to_process0(lines)
-        dt = min(dt, time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        merged = merge.gather(lines) if nproc > 1 else list(lines)
+        merge_ts.append(time.perf_counter() - t1)
+        map_ts.append(t1 - t0)
 
+    map_s = sorted(map_ts)[1]
+    merge_s = sorted(merge_ts)[1]
     if pid == 0:
-        assert merged is not None and len(merged) >= n_reads * 9 // 10, \
-            f"only {len(merged)} of {n_reads} reads mapped"
+        assert merged is not None and len(merged) >= total * 9 // 10, \
+            f"only {len(merged)} of {total} reads mapped"
         with open(out_path, "w") as fh:
-            json.dump({"nproc": nproc, "n_reads": n_reads,
-                       "map_s": dt, "reads_per_s": n_reads / dt,
+            json.dump({"nproc": nproc, "n_reads": total,
+                       "parse_s": parse_s, "map_only_s": map_s,
+                       "merge_s": merge_s,
+                       "map_s": map_s + merge_s,
+                       "reads_per_s": total / (map_s + merge_s),
                        "mapped": len(merged)}, fh)
     print("WORKER_OK", pid, flush=True)
 
