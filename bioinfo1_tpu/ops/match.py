@@ -222,6 +222,124 @@ def find_matches_combined(min_hash: jax.Array, min_pos: jax.Array,
     return mf, mr
 
 
+def _compact_sharded(cnt_global: jax.Array, start_local: jax.Array,
+                     min_pos: jax.Array, key_pos: jax.Array, N: int,
+                     owned: jax.Array) -> Matches:
+    """_compact against a hash-SHARDED table: this device contributes only
+    the slots it ``owned`` (their hash falls in its range), but lays them
+    out at the GLOBAL offsets implied by ``cnt_global`` (the psum of every
+    shard's counts), so summing the (B, N) buffers across shards
+    reconstructs the replicated layout bit-exactly - each hash lives in
+    exactly ONE shard, so contributions are disjoint and zero-filled.
+
+    Every live slot (owned or not) scatters a blocker into its first lane
+    so the forward fill cannot leak an owned slot's row base into a
+    neighbouring unowned slot's lanes; non-owned lanes emit zeros.
+    """
+    B, T = cnt_global.shape
+    U = key_pos.shape[0]
+    cum = jnp.cumsum(cnt_global, axis=1, dtype=jnp.int32)
+    total = cum[:, -1]
+    cumx = cum - cnt_global
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    live = (cnt_global > 0) & (cumx < N)
+    dst = jnp.where(live, cumx, N)
+    NO_A = jnp.int32(-(2**31))
+    own_i = owned.astype(jnp.int32)
+    a_buf = jnp.full((B, N + 1), NO_A, jnp.int32).at[rows, dst].set(
+        jnp.where(live, jnp.where(owned, start_local - cumx, 0), NO_A))
+    f_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(
+        jnp.where(owned, min_pos, 0))
+    o_buf = jnp.zeros((B, N + 1), jnp.int32).at[rows, dst].set(own_i)
+    a_fill, f_pos, o_fill = _fill_from_left(
+        a_buf[:, :N] != NO_A, (a_buf[:, :N], f_buf[:, :N], o_buf[:, :N]))
+    j = jnp.arange(N, dtype=jnp.int32)[None, :]
+    valid = (j < jnp.minimum(total, N)[:, None]) & (o_fill == 1)
+    take = jnp.clip(a_fill + j, 0, U - 1)
+    r_pos = jnp.where(valid, jnp.take(key_pos, take), 0)
+    f_pos = jnp.where(valid, f_pos, 0)
+    return Matches(f_pos=f_pos.astype(jnp.int32),
+                   r_pos=r_pos.astype(jnp.int32),
+                   count=jnp.minimum(total, N), total=total,
+                   overflow=total > N)
+
+
+def find_matches_combined_sharded(
+        min_hash: jax.Array, min_pos: jax.Array, keep: jax.Array,
+        key_hash: jax.Array, key_pos: jax.Array,
+        cnt_fr: jax.Array, cnt_r2: jax.Array, bucket_off: jax.Array,
+        range_size: int, max_matches: int, cnt_shift: int,
+        axis_name: str) -> tuple:
+    """Both strands' matches from a hash-range-SHARDED combined table.
+
+    Must run inside shard_map over ``axis_name`` with the reads sharded on
+    the batch axis and the index arrays sharded by hash range: device d
+    holds the table rows whose hash is in [d*range_size, (d+1)*range_size)
+    plus a rebased direct-address directory over that range (always
+    direct-address: the directory is WHY the index gets sharded).
+
+    Protocol (all fixed-shape, ICI-friendly):
+      1. all_gather the compacted queries - every device sees all B reads'
+         minimizers (small: ~B*T*9 bytes).
+      2. each device probes its own directory slice for the hashes in its
+         range -> local per-slot counts; psum -> exact GLOBAL counts (a
+         hash lives in exactly one shard, so the sum is a union).
+      3. each device lays its hit runs out at the global offsets
+         (_compact_sharded) and psum_scatter returns each read's complete
+         match buffers to its home device.
+
+    Output is bit-identical to find_matches_combined on the replicated
+    table (tests/test_sharded_index.py).
+    """
+    qh = jax.lax.all_gather(min_hash, axis_name, axis=0, tiled=True)
+    qp = jax.lax.all_gather(min_pos, axis_name, axis=0, tiled=True)
+    kp = jax.lax.all_gather(keep, axis_name, axis=0, tiled=True)
+    d = jax.lax.axis_index(axis_name)
+    lo_hash = d.astype(jnp.uint32) * jnp.uint32(range_size)
+    q = qh.astype(jnp.uint32)
+    rel = q - lo_hash                       # wraps for q < lo_hash
+    in_range = (q >= lo_hash) & (rel < jnp.uint32(range_size))
+    qi = jnp.where(in_range, rel, 0).astype(jnp.int32)
+    lo = jnp.take(bucket_off, qi)
+    present = (jnp.take(bucket_off, qi + 1) > lo) & kp & in_range
+    loc = jnp.clip(lo, 0, key_pos.shape[0] - 1)
+    if cnt_shift:
+        both = jnp.where(present, jnp.take(cnt_fr, loc), jnp.uint32(0))
+        cf_l = (both & jnp.uint32((1 << cnt_shift) - 1)).astype(jnp.int32)
+        cr_l = jax.lax.shift_right_logical(
+            both, jnp.uint32(cnt_shift)).astype(jnp.int32)
+    else:
+        cf_l = jnp.where(present, jnp.take(cnt_fr, loc), 0).astype(jnp.int32)
+        cr_l = jnp.where(present, jnp.take(cnt_r2, loc), 0).astype(jnp.int32)
+    cf = jax.lax.psum(cf_l, axis_name)
+    cr = jax.lax.psum(cr_l, axis_name)
+    mf = _compact_sharded(cf, lo, qp, key_pos, max_matches, present)
+    # The owning shard holds ALL of a hash's entries, so its local fwd
+    # count equals the global one at owned slots: rev runs start at
+    # lo + cf_l there.
+    mr = _compact_sharded(cr, lo + cf_l, qp, key_pos, max_matches, present)
+
+    def home(m):
+        return Matches(
+            f_pos=jax.lax.psum_scatter(m.f_pos, axis_name,
+                                       scatter_dimension=0, tiled=True),
+            r_pos=jax.lax.psum_scatter(m.r_pos, axis_name,
+                                       scatter_dimension=0, tiled=True),
+            count=_home_rows(m.count, axis_name, min_hash.shape[0]),
+            total=_home_rows(m.total, axis_name, min_hash.shape[0]),
+            overflow=_home_rows(m.overflow, axis_name, min_hash.shape[0]))
+
+    return home(mf), home(mr)
+
+
+def _home_rows(x: jax.Array, axis_name: str, b_loc: int) -> jax.Array:
+    """Slice this device's batch rows out of a globally-identical array
+    (counts are computed from psum'd values, so every shard agrees; a
+    psum_scatter would multiply them by the shard count)."""
+    d = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(x, d * b_loc, b_loc, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("max_matches",))
 def find_matches(min_hash: jax.Array, min_pos: jax.Array, keep: jax.Array,
                  idx_hash: jax.Array, idx_pos: jax.Array,

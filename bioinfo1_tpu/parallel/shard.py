@@ -65,27 +65,61 @@ def replicate_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
     return jax.tree.map(lambda a: jax.device_put(a, rep), index)
 
 
+def _index_specs(index: dm.DeviceIndex):
+    """Per-leaf PartitionSpecs for a DeviceIndex: hash-range-sharded lookup
+    arrays carry a leading device axis (shard_range > 0); ref stays
+    replicated."""
+    if not index.shard_range:
+        return jax.tree.map(lambda _: P(), index)
+    return dm.DeviceIndex(
+        key_hash=P("data", None), key_pos=P("data", None),
+        cnt_fr=P("data", None), cnt_r2=P("data", None),
+        bucket_off=P("data", None), ref_bytes=P(), ref_len=P(),
+        shard_range=index.shard_range, shift=index.shift,
+        bsearch_steps=index.bsearch_steps, cnt_shift=index.cnt_shift)
+
+
+def shard_index(index: dm.DeviceIndex, mesh: Mesh) -> dm.DeviceIndex:
+    """Place a sharded-layout index (sharded_device_index_from_host) so
+    device d holds only its hash-range slice - per-device lookup HBM is
+    1/mesh.size of the replicated footprint (the BASELINE north star's
+    'sharded across a multi-host pod when large')."""
+    assert index.shard_range, "pack with sharded_device_index_from_host"
+    specs = _index_specs(index)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        index, specs)
+
+
 def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
                      budget: int = 512, region_cap: int = 0,
                      use_pallas: bool = False, band: int = 0,
-                     oob_end_windows: bool = False):
+                     oob_end_windows: bool = False,
+                     index_specs=None):
     """Build a jitted data-parallel map step bound to ``mesh``.
 
     Returns fn(reads (B,L), lens (B,), index, match, mismatch, gap) with B a
     multiple of mesh size; reads/lens sharded on the batch axis, index
-    replicated, outputs sharded back (fetch with jax.device_get).
+    replicated - or hash-range SHARDED when ``index_specs`` (from
+    _index_specs on a sharded-layout index) says so - and outputs sharded
+    back (fetch with jax.device_get).
     """
     shard_map = jax.shard_map
+    sharded = (index_specs is not None
+               and getattr(index_specs, "shard_range", 0))
+    axis = "data" if sharded else None
 
     def local_step(reads, lens, index, match, mismatch, gap):
         return dm.map_step(reads, lens, index, match, mismatch, gap,
                            k=k, w=w, mode=mode, budget=budget,
                            region_cap=region_cap, use_pallas=use_pallas,
-                           band=band, oob_end_windows=oob_end_windows)
+                           band=band, oob_end_windows=oob_end_windows,
+                           shard_axis=axis)
 
+    ispec = index_specs if index_specs is not None else P()
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("data", None), P("data"), P(), P(), P(), P()),
+        in_specs=(P("data", None), P("data"), ispec, P(), P(), P()),
         out_specs=jax.tree.map(lambda _: P("data"), dm.MapOut(
             mapped=0, is_fwd=0, q_begin=0, q_end=0, t_begin=0, t_end=0,
             score=0, overflow=0)),
@@ -96,19 +130,25 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
 def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
                            budget: int = 512, region_cap: int = 0,
                            use_pallas: bool = False, band: int = 256,
-                           oob_end_windows: bool = False):
+                           oob_end_windows: bool = False,
+                           index_specs=None):
     """Data-parallel fused -c step (map_step_cigar over ``mesh``).
 
-    Same contract as sharded_map_step; the (steps, B) op-code tensor is
-    sharded on its BATCH axis (axis 1).
+    Same contract as sharded_map_step (incl. sharded-index support via
+    ``index_specs``); the (steps, B) op-code tensor is sharded on its
+    BATCH axis (axis 1).
     """
     shard_map = jax.shard_map
+    sharded = (index_specs is not None
+               and getattr(index_specs, "shard_range", 0))
+    axis = "data" if sharded else None
 
     def local_step(reads, lens, index, match, mismatch, gap):
         return dm.map_step_cigar(reads, lens, index, match, mismatch, gap,
                                  k=k, w=w, mode=mode, budget=budget,
                                  region_cap=region_cap, use_pallas=use_pallas,
-                                 band=band, oob_end_windows=oob_end_windows)
+                                 band=band, oob_end_windows=oob_end_windows,
+                                 shard_axis=axis)
 
     out_specs = dm.CigarOut(
         base=jax.tree.map(lambda _: P("data"), dm.MapOut(
@@ -116,9 +156,10 @@ def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
             score=0, overflow=0)),
         codes=P(None, "data"), goal_i=P("data"), goal_j=P("data"),
         q_len=P("data"), t_len=P("data"), certified=P("data"))
+    ispec = index_specs if index_specs is not None else P()
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("data", None), P("data"), P(), P(), P(), P()),
+        in_specs=(P("data", None), P("data"), ispec, P(), P(), P()),
         out_specs=out_specs,
         check_vma=False)
     return jax.jit(fn)

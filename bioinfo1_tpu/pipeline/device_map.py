@@ -64,6 +64,11 @@ class DeviceIndex:
                                            metadata=dict(static=True))
     cnt_shift: int = dataclasses.field(default=16,
                                        metadata=dict(static=True))
+    # Hash-range sharding (sharded_device_index_from_host): device d of the
+    # mesh holds hashes [d*shard_range, (d+1)*shard_range) and the lookup
+    # arrays carry a leading device axis.  0 = replicated layout.
+    shard_range: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -87,63 +92,27 @@ class MapOut:
 
 
 def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
-    """Pack an index.builder.IndexArrays into the combined device layout."""
+    """Pack an index.builder.IndexArrays into the combined device layout.
+
+    The host-side merge (combined sorted table, fwd-before-rev within each
+    hash run, packed per-strand counts) lives in _host_combined_table,
+    shared with the sharded packer."""
     import numpy as np
 
-    fh = index.fwd.hash_sorted.astype(np.uint32)
-    rh = index.rev.hash_sorted.astype(np.uint32)
-    fp = index.fwd.pos_sorted.astype(np.int32)
-    rp = index.rev.pos_sorted.astype(np.int32)
-
-    # Merge the two per-strand sorted tables; within a hash run fwd entries
-    # precede rev entries, positions ascending (the order LIS parity needs).
-    # Both inputs are already (hash, pos)-sorted, so this is a linear merge
-    # by placement: rev entry i lands after every fwd entry with hash <= its
-    # own (side='right' = fwd-before-rev on ties) plus the i rev entries
-    # before it - no O(n log n) lexsort over the concatenation.
-    U = len(fh) + len(rh)
-    rev_slots = np.searchsorted(fh, rh, side="right") + np.arange(
-        len(rh), dtype=np.int64)
-    is_rev = np.zeros(U, dtype=bool)
-    is_rev[rev_slots] = True
-    ks = np.empty(U, np.uint32)
-    ps = np.empty(U, np.int32)
-    ks[rev_slots] = rh
-    ps[rev_slots] = rp
-    ks[~is_rev] = fh
-    ps[~is_rev] = fp
-    ss = is_rev.astype(np.uint8)
+    ks, ps, cnt_fr0, cnt_r20, cnt_shift = _host_combined_table(index)
+    U = len(ks)
     Up = 8
     while Up < U:
         Up *= 2
     if not pad_to_pow2:
         Up = max(U, 1)
-
-    # Per-strand run sizes at each hash run's first entry.
-    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]])) \
-        if U else np.zeros((0,), np.int64)
-    ends = np.append(starts[1:], U)
-    cum_s = np.concatenate([[0], np.cumsum(ss, dtype=np.int64)])
-    rev_in = (cum_s[ends] - cum_s[starts]).astype(np.int32)
-    cnt_f = np.zeros(Up, np.int64)
-    cnt_r = np.zeros(Up, np.int64)
-    cnt_f[starts] = (ends - starts) - rev_in
-    cnt_r[starts] = rev_in
-    # Pack both strands' counts into one uint32 so the lookup pays a single
-    # count-gather round; split point from the actual max run lengths, with
-    # the unpacked two-table fallback when they cannot share 32 bits.
-    bits_f = max(1, int(cnt_f.max()).bit_length()) if U else 1
-    bits_r = max(1, int(cnt_r.max()).bit_length()) if U else 1
-    if bits_f + bits_r <= 32:
-        # Canonical 16/16 split whenever it fits (stable jit key across
-        # genomes); otherwise the tightest valid split.
-        cnt_shift = 16 if (bits_f <= 16 and bits_r <= 16) else bits_f
-        cnt_fr = (cnt_f | (cnt_r << cnt_shift)).astype(np.uint32)
-        cnt_r2 = np.zeros(1, np.int32)
+    cnt_fr = np.zeros(Up, cnt_fr0.dtype)
+    cnt_fr[:U] = cnt_fr0
+    if cnt_shift == 0:
+        cnt_r2 = np.zeros(Up, np.int32)
+        cnt_r2[:U] = cnt_r20
     else:
-        cnt_shift = 0
-        cnt_fr = cnt_f.astype(np.uint32)
-        cnt_r2 = cnt_r.astype(np.int32)
+        cnt_r2 = cnt_r20
     # Sentinel pads sort after every real hash; their counts are 0, so a
     # probe landing on them reports no hits.
     ksp = np.full(Up, 0xFFFFFFFF, np.uint32)
@@ -208,6 +177,119 @@ def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
         shift=shift, bsearch_steps=steps, cnt_shift=cnt_shift)
 
 
+def sharded_device_index_from_host(index, n_shards: int) -> DeviceIndex:
+    """Pack the index with the LOOKUP structures hash-range-sharded over
+    ``n_shards`` devices (BASELINE north star: "sharded across a multi-host
+    pod when large").
+
+    Shard d owns hashes [d*S, (d+1)*S) with S = 2^(2k)/n_shards: the
+    combined sorted table rows in that range (padded to the largest shard)
+    plus a REBASED direct-address directory over the range - per-device
+    directory HBM drops from 4*4^k to 4*4^k/D bytes, which is what caps
+    replicated indexes (4 GB/replica at k=15).  Always direct-address (the
+    directory is the reason to shard; needs 2*k <= 30).  ref_bytes stays
+    replicated - it costs 2 bytes/base against the index's ~16.
+
+    Arrays carry a leading (n_shards, ...) axis; place with
+    parallel.shard.shard_index and run map_step with shard_axis set.
+    Lookup results are bit-identical to the replicated layout
+    (ops/match.find_matches_combined_sharded).
+    """
+    import numpy as np
+
+    hash_bits = 2 * int(index.k)
+    if hash_bits > 30:
+        raise ValueError(f"sharded index needs 2*k <= 30 bits (k={index.k})")
+    if (1 << hash_bits) % n_shards:
+        raise ValueError(f"n_shards={n_shards} must divide the hash space")
+    # Host-side combined sorted table + packed counts (same layout as the
+    # replicated packer), then sliced by hash range.
+    ks, ps, cnt_fr, cnt_r2, cnt_shift = _host_combined_table(index)
+    U = len(ks)
+    S = (1 << hash_bits) // n_shards
+    bounds = np.searchsorted(ks[:U], np.arange(n_shards + 1,
+                                               dtype=np.uint64) * S)
+    sizes = np.diff(bounds)
+    cap = max(int(sizes.max()), 1)
+    kh = np.full((n_shards, cap), 0xFFFFFFFF, np.uint32)
+    kp = np.zeros((n_shards, cap), np.int32)
+    cf = np.zeros((n_shards, cap), cnt_fr.dtype)
+    c2 = np.zeros((n_shards, cap if cnt_shift == 0 else 1), np.int32)
+    bo = np.zeros((n_shards, S + 1), np.int32)
+    for d in range(n_shards):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        n = hi - lo
+        kh[d, :n] = ks[lo:hi]
+        kp[d, :n] = ps[lo:hi]
+        cf[d, :n] = cnt_fr[lo:hi]
+        if cnt_shift == 0:
+            c2[d, :n] = cnt_r2[lo:hi]
+        # Rebased direct directory over [d*S, (d+1)*S): row offsets into
+        # this shard's slice.
+        counts = np.bincount((ks[lo:hi] - np.uint32(d * S)).astype(np.int64),
+                             minlength=S).astype(np.int32)
+        bo[d, 1:] = np.cumsum(counts, dtype=np.int32)
+
+    L = int(index.ref_len)
+    capr = 16
+    while capr < L:
+        capr *= 2
+    ref = np.zeros((2, capr), dtype=np.uint8)
+    ref[0, :L] = np.frombuffer(index.ref_fwd_seq.encode("latin1"),
+                               dtype=np.uint8)
+    ref[1, :L] = np.frombuffer(index.ref_rev_seq.encode("latin1"),
+                               dtype=np.uint8)
+    return DeviceIndex(
+        key_hash=jnp.asarray(kh), key_pos=jnp.asarray(kp),
+        cnt_fr=jnp.asarray(cf), cnt_r2=jnp.asarray(c2),
+        bucket_off=jnp.asarray(bo),
+        ref_bytes=jnp.asarray(ref), ref_len=jnp.int32(L),
+        shift=0, bsearch_steps=0, cnt_shift=cnt_shift, shard_range=S)
+
+
+def _host_combined_table(index):
+    """Host-side combined sorted table + packed counts (the front half of
+    device_index_from_host, shared with the sharded packer)."""
+    import numpy as np
+
+    fh = index.fwd.hash_sorted.astype(np.uint32)
+    rh = index.rev.hash_sorted.astype(np.uint32)
+    fp = index.fwd.pos_sorted.astype(np.int32)
+    rp = index.rev.pos_sorted.astype(np.int32)
+    U = len(fh) + len(rh)
+    rev_slots = np.searchsorted(fh, rh, side="right") + np.arange(
+        len(rh), dtype=np.int64)
+    is_rev = np.zeros(U, dtype=bool)
+    is_rev[rev_slots] = True
+    ks = np.empty(U, np.uint32)
+    ps = np.empty(U, np.int32)
+    ks[rev_slots] = rh
+    ps[rev_slots] = rp
+    ks[~is_rev] = fh
+    ps[~is_rev] = fp
+    ss = is_rev.astype(np.uint8)
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]])) \
+        if U else np.zeros((0,), np.int64)
+    ends = np.append(starts[1:], U)
+    cum_s = np.concatenate([[0], np.cumsum(ss, dtype=np.int64)])
+    rev_in = (cum_s[ends] - cum_s[starts]).astype(np.int32)
+    cnt_f = np.zeros(max(U, 1), np.int64)
+    cnt_r = np.zeros(max(U, 1), np.int64)
+    cnt_f[starts] = (ends - starts) - rev_in
+    cnt_r[starts] = rev_in
+    bits_f = max(1, int(cnt_f.max()).bit_length()) if U else 1
+    bits_r = max(1, int(cnt_r.max()).bit_length()) if U else 1
+    if bits_f + bits_r <= 32:
+        cnt_shift = 16 if (bits_f <= 16 and bits_r <= 16) else bits_f
+        cnt_fr = (cnt_f | (cnt_r << cnt_shift)).astype(np.uint32)[:U]
+        cnt_r2 = np.zeros(1, np.int32)
+    else:
+        cnt_shift = 0
+        cnt_fr = cnt_f.astype(np.uint32)[:U]
+        cnt_r2 = cnt_r.astype(np.int32)[:U]
+    return ks, ps, cnt_fr, cnt_r2, cnt_shift
+
+
 @functools.partial(jax.jit, static_argnames=("bb", "shift"))
 def _bucket_directory(key_hash: jax.Array, n_real: jax.Array,
                       *, bb: int, shift: int):
@@ -268,11 +350,12 @@ def _extract_flat_windows(src: jax.Array, begin: jax.Array,
 
 
 def _map_core(reads, lens, index, *, k, w, budget, region_cap,
-              use_pallas, oob_end_windows):
+              use_pallas, oob_end_windows, shard_axis=None):
     """Shared front half of the fused step: minimize -> match -> chain ->
     strand select -> region extraction.  Returns the per-read mapping
     coordinates plus the gathered (q_win, t_win, q_len, t_len) alignment
-    regions."""
+    regions.  ``shard_axis`` (inside shard_map only) switches the lookup
+    to the hash-range-sharded protocol."""
     B, L = reads.shape
     mres = mz.minimize_batch(reads, lens, k, w,
                              oob_end_windows=oob_end_windows)
@@ -283,11 +366,21 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
     keep_cap = min(mres.hashes.shape[1], budget)
     q_hash, q_pos, q_keep, q_over = match_ops.compact_queries(
         mres.hashes, mres.pos, mres.dedup_keep, keep_cap)
-    got_f, got_r = match_ops.find_matches_combined(
-        q_hash, q_pos, q_keep,
-        index.key_hash, index.key_pos, index.cnt_fr, index.cnt_r2,
-        index.bucket_off, index.shift, index.bsearch_steps, budget,
-        index.cnt_shift)
+    if shard_axis is not None and index.shard_range:
+        # shard_map delivers this device's hash-range slice with a leading
+        # singleton axis; squeeze it.
+        sq = (lambda a: a[0]) if index.key_hash.ndim == 2 else (lambda a: a)
+        got_f, got_r = match_ops.find_matches_combined_sharded(
+            q_hash, q_pos, q_keep,
+            sq(index.key_hash), sq(index.key_pos), sq(index.cnt_fr),
+            sq(index.cnt_r2), sq(index.bucket_off),
+            index.shard_range, budget, index.cnt_shift, shard_axis)
+    else:
+        got_f, got_r = match_ops.find_matches_combined(
+            q_hash, q_pos, q_keep,
+            index.key_hash, index.key_pos, index.cnt_fr, index.cnt_r2,
+            index.bucket_off, index.shift, index.bsearch_steps, budget,
+            index.cnt_shift)
     if use_pallas:
         # One fused kernel call over both strands' rows, sorted by match
         # count: the true-strand rows (~1000 matches) and wrong-strand rows
@@ -337,14 +430,15 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
-                                    "use_pallas", "oob_end_windows", "band"))
+                                    "use_pallas", "oob_end_windows", "band",
+                                    "shard_axis"))
 def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
              match: jax.Array, mismatch: jax.Array, gap: jax.Array,
              *, k: int, w: int, mode: int,
              budget: int = 512, region_cap: int = 0,
              use_pallas: bool = False,
              oob_end_windows: bool = False,
-             band: int = 0) -> MapOut:
+             band: int = 0, shard_axis=None) -> MapOut:
     """Map a read batch end-to-end on device (score-only).
 
     Args:
@@ -366,7 +460,8 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
      q_win, t_win, q_len, t_len) = _map_core(
         reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
-        use_pallas=use_pallas, oob_end_windows=oob_end_windows)
+        use_pallas=use_pallas, oob_end_windows=oob_end_windows,
+        shard_axis=shard_axis)
 
     def full_scores():
         if use_pallas:
@@ -422,14 +517,15 @@ class CigarOut:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
-                                    "use_pallas", "oob_end_windows", "band"))
+                                    "use_pallas", "oob_end_windows", "band",
+                                    "shard_axis"))
 def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                    match: jax.Array, mismatch: jax.Array, gap: jax.Array,
                    *, k: int, w: int, mode: int,
                    budget: int = 512, region_cap: int = 0,
                    use_pallas: bool = False,
                    oob_end_windows: bool = False,
-                   band: int = 256) -> CigarOut:
+                   band: int = 256, shard_axis=None) -> CigarOut:
     """Fused -c step: map_step plus banded-parents alignment and the
     on-device traceback walk, for ALL THREE alignment modes (local /
     semiGlobal goal cells come from the banded kernel's in-band argmax /
@@ -448,7 +544,8 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
      q_win, t_win, q_len, t_len) = _map_core(
         reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
-        use_pallas=use_pallas, oob_end_windows=oob_end_windows)
+        use_pallas=use_pallas, oob_end_windows=oob_end_windows,
+        shard_axis=shard_axis)
 
     from bioinfo1_tpu.ops import pallas_band as pb
     from bioinfo1_tpu.ops import trace as tr

@@ -508,12 +508,50 @@ class Mapper:
                 self._mesh_resolved = True
             return self._mesh
 
+    def _index_shard_count(self, mesh) -> int:
+        """How many hash-range shards the mesh index should use (0 =
+        replicate).  BIOINFO1_INDEX_SHARD: 0/off forces replication, 1/on
+        forces sharding, auto (default) shards when the REPLICATED lookup
+        structures would exceed BIOINFO1_INDEX_BUDGET bytes per device
+        (default 6e9 - the E. coli-scale index replicates comfortably; a
+        genome much beyond it cannot, which previously capped the whole
+        framework at indexes that fit one chip's HBM)."""
+        import os
+        if mesh is None:
+            return 0
+        mode = os.environ.get("BIOINFO1_INDEX_SHARD", "auto")
+        if mode in ("0", "false", "off"):
+            return 0
+        hash_bits = 2 * self.cfg.k
+        can = hash_bits <= 30 and (1 << hash_bits) % mesh.size == 0
+        if not can:
+            return 0
+        if mode in ("1", "true", "on"):
+            return mesh.size
+        # auto: estimated replicated footprint (direct-address directory +
+        # combined table) vs per-device budget.
+        n_entries = (len(self.index.fwd.hash_sorted)
+                     + len(self.index.rev.hash_sorted))
+        direct = hash_bits <= 30 and n_entries >= (1 << 20)
+        est = n_entries * 12 + (4 * ((1 << hash_bits) + 1) if direct else 0)
+        budget = float(os.environ.get("BIOINFO1_INDEX_BUDGET", 6e9))
+        return mesh.size if est > budget else 0
+
     def _get_replicated_index(self, mesh):
-        didx = self._get_device_index()
+        """Mesh-placed index: replicated per device, or hash-range sharded
+        across the mesh when large (_index_shard_count)."""
+        n_shards = self._index_shard_count(mesh)
+        didx = None if n_shards else self._get_device_index()
         with self._counters_lock:
             if self._replicated_index is None:
                 from bioinfo1_tpu.parallel import shard as ps
-                self._replicated_index = ps.replicate_index(didx, mesh)
+                if n_shards:
+                    from bioinfo1_tpu.pipeline import device_map as dm
+                    self._replicated_index = ps.shard_index(
+                        dm.sharded_device_index_from_host(
+                            self.index, n_shards), mesh)
+                else:
+                    self._replicated_index = ps.replicate_index(didx, mesh)
             return self._replicated_index
 
     def _get_sharded_step(self, mesh, key):
@@ -523,18 +561,23 @@ class Mapper:
     def _get_sharded_step_locked(self, mesh, key):
         if key not in self._sharded_steps:
             from bioinfo1_tpu.parallel import shard as ps
+            specs = (ps._index_specs(self._replicated_index)
+                     if self._replicated_index is not None
+                     and self._replicated_index.shard_range else None)
             if key[0] == "cigar":
                 (_, mode, budget, region_cap, use_pallas, band, oob) = key
                 fn = ps.sharded_map_step_cigar(
                     mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
                     budget=budget, region_cap=region_cap,
-                    use_pallas=use_pallas, band=band, oob_end_windows=oob)
+                    use_pallas=use_pallas, band=band, oob_end_windows=oob,
+                    index_specs=specs)
             else:
                 (mode, budget, region_cap, use_pallas, band, oob) = key
                 fn = ps.sharded_map_step(
                     mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
                     budget=budget, region_cap=region_cap,
-                    use_pallas=use_pallas, band=band, oob_end_windows=oob)
+                    use_pallas=use_pallas, band=band, oob_end_windows=oob,
+                    index_specs=specs)
             self._sharded_steps[key] = fn
         return self._sharded_steps[key]
 
@@ -697,9 +740,11 @@ class Mapper:
                 key = (mode, budget, region_cap, use_pallas, band,
                        cfg.oob_end_windows)
             if mesh is not None:
+                # Index placement first: the step builder's in_specs depend
+                # on whether the index landed replicated or sharded.
+                idx = self._get_replicated_index(mesh)
                 step = self._get_sharded_step(mesh, key)
-                return jax.device_get(step(
-                    arr, lens, self._get_replicated_index(mesh), *scoring))
+                return jax.device_get(step(arr, lens, idx, *scoring))
             fn = dm.map_step_cigar if cfg.output_cigar else dm.map_step
             return jax.device_get(fn(
                 jnp.asarray(arr), jnp.asarray(lens),
