@@ -81,11 +81,20 @@ class MapperCounters:
     host_fallbacks: int = 0        # certificate misses re-routed to host
     band_retries: int = 0          # fused reruns at a doubled band
     faults: int = 0                # batches that raised and were isolated
+    # Itemized wall-clock budget (VERDICT r03 item 9): where batch time
+    # goes, summed over worker threads (overlap means these can exceed the
+    # pipeline's wall time).
+    t_fused_s: float = 0.0         # fused device dispatch + fetch
+    t_host_s: float = 0.0          # staged host-path batches
+    t_decode_s: float = 0.0        # native/python CIGAR decode
+    t_format_s: float = 0.0        # stats + PAF serialization
 
     def as_dict(self) -> dict:
         d = dataclasses.asdict(self)
         if self.cert_total:
             d["cert_hit_rate"] = round(self.cert_hits / self.cert_total, 4)
+        for k in ("t_fused_s", "t_host_s", "t_decode_s", "t_format_s"):
+            d[k] = round(d[k], 3)
         return d
 
 
@@ -819,10 +828,14 @@ class Mapper:
                    if out.mapped[i] and not out.overflow[i]
                    and cig.certified[i]]
             if sel:
+                import time as _time
+                t_dec = _time.perf_counter()
                 cigs, tbs = _decode_cigars(
                     cig.codes, sel, cig.goal_i, cig.goal_j,
                     cig.q_len, cig.t_len, cfg)
                 cig_by_i = dict(zip(sel, zip(cigs, tbs)))
+                with self._counters_lock:
+                    self.counters.t_decode_s += _time.perf_counter() - t_dec
         with self._counters_lock:
             self.counters.batches += 1
         for i in range(len(seqs)):
@@ -926,6 +939,8 @@ class Mapper:
                     # the batch through the host pipeline; a host-path
                     # failure skips those reads with the reference's stderr
                     # line instead of aborting the whole run.
+                    import time as _time
+                    t_call = _time.perf_counter()
                     try:
                         if on_device:
                             override = 0
@@ -965,8 +980,12 @@ class Mapper:
                                 results[i] = ReadMapping(mapped=False)
                         continue
                     retry_s, host_s = set(retry), set(host_retry)
+                    dt_call = _time.perf_counter() - t_call
                     with self._counters_lock:
-                        if not on_device:
+                        if on_device:
+                            self.counters.t_fused_s += dt_call
+                        else:
+                            self.counters.t_host_s += dt_call
                             self.counters.batches += 1
                         self.counters.budget_retries += len(retry_s)
                         self.counters.host_fallbacks += len(host_s)
@@ -1100,11 +1119,14 @@ class Mapper:
         in_flight: list = []            # FIFO [(entries, chunk, fut, cost)]
 
         def complete_oldest():
+            import time as _time
             entries, chunk, fut, _bases = in_flight.pop(0)
             mappings = fut.result()
-            for (idx, _, _), lines in zip(
-                    entries, self._format_chunk(chunk, mappings,
-                                                per_read_stats)):
+            t_fmt = _time.perf_counter()
+            per_rec = self._format_chunk(chunk, mappings, per_read_stats)
+            with self._counters_lock:
+                self.counters.t_format_s += _time.perf_counter() - t_fmt
+            for (idx, _, _), lines in zip(entries, per_rec):
                 results[idx] = lines
 
         def complete_in_flight():
