@@ -310,7 +310,15 @@ def measure_repeat(genome_len=GENOME_LEN):
 
     rng = np.random.default_rng(SEED + 5)
     genome = sim.repeat_genome(genome_len, rng)
-    records = sim.simulate_reads(genome, [2000, 4000, 8000] * 342, rng)
+    # Mixed error profile like MAP006: half ~12%-error reads, half
+    # low-error 2D-quality reads (~3%).  Low-error reads keep most of
+    # their minimizers, so ones landing in the near-identical operon
+    # repeats multiply matches past the budget and drive the
+    # overflow-retry ladder (budget_retries > 0 expected).
+    records = sim.simulate_reads(genome, [2000, 4000, 8000] * 171, rng)
+    records += sim.simulate_reads(genome, [2000, 4000, 8000] * 171, rng,
+                                  sub_rate=0.015, ins_rate=0.007,
+                                  del_rate=0.008)
     mapper = Mapper([("ref", genome.tobytes().decode("latin1"))],
                     MapperConfig())
     for _ in range(3):
