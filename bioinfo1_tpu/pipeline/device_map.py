@@ -361,9 +361,14 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
                              oob_end_windows=oob_end_windows)
 
     # ~2/(w+1) of window slots survive dedup; pack them left so every
-    # lookup round below runs at the compacted width.  keep_cap scales with
-    # budget so the host's overflow-retry doubling lifts both limits.
-    keep_cap = min(mres.hashes.shape[1], budget)
+    # lookup round below runs at the compacted width.  The cap follows the
+    # EXPECTED survivor count (+1 window of slack) rather than the full
+    # match budget - probes/scatters at budget width ran ~33% idle lanes
+    # (match was the fused step's largest stage).  Overflowing reads are
+    # flagged (compact_queries) and the host retry's doubled budget takes
+    # over via the budget//2 term, so truncation is never silent.
+    expect = -(-2 * L // ((w + 1) * 128)) * 128 + 128
+    keep_cap = min(mres.hashes.shape[1], budget, max(expect, budget // 2))
     q_hash, q_pos, q_keep, q_over = match_ops.compact_queries(
         mres.hashes, mres.pos, mres.dedup_keep, keep_cap)
     if shard_axis is not None and index.shard_range:
