@@ -37,8 +37,20 @@ INVALID_POS = np.int32(0x7FFFFFFF)
 
 
 def seq_to_codes(seq_bytes: jax.Array) -> jax.Array:
-    """(..., L) uint8 ASCII -> (..., L) uint32 2-bit codes."""
-    return jnp.asarray(_CODE_TABLE)[seq_bytes]
+    """(..., L) uint8 ASCII -> (..., L) uint32 2-bit codes.
+
+    Arithmetic, not a table gather (element-serial gathers cost ~18 ms per
+    512x4k batch on TPU; this is ~1 ms of VPU work): (b >> 1) & 3 maps
+    A->0 C->1 T->2 G->3, and XOR-ing 1 below 2 swaps A/C into the
+    reference's C=0 < A=1 < T=2 < G=3 order.  Non-ACGT bytes map to 0
+    exactly like the reference's ``unordered_map::operator[]``
+    default-insert (team_minimizers.cpp:73-78)."""
+    b = seq_bytes.astype(jnp.uint32)
+    x = (b >> 1) & 3
+    x = x ^ (x < 2).astype(jnp.uint32)
+    is_acgt = ((seq_bytes == ord("A")) | (seq_bytes == ord("C"))
+               | (seq_bytes == ord("G")) | (seq_bytes == ord("T")))
+    return jnp.where(is_acgt, x, 0)
 
 
 def reverse_complement_bytes(seq_bytes: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -74,9 +86,34 @@ def kmer_hashes(seq_bytes: jax.Array, lengths: jax.Array, k: int):
         raise ValueError(f"padded length {L} < k={k}")
     nk = L - k + 1
     codes = seq_to_codes(seq_bytes)
-    h = jnp.zeros((B, nk), dtype=jnp.uint32)
-    for j in range(k):
-        h = (h << 2) | codes[:, j:j + nk]
+
+    # Log-doubling instead of k single-base rounds: every round's shifted
+    # slice costs a cross-lane relayout on TPU (~3 ms per 512x4k batch), so
+    # round COUNT is the cost.  P[m](j) = codes[j..j+m) packed MSB-first;
+    # P[2m](j) = P[m](j) << 2m | P[m](j+m), then k composes from its binary
+    # decomposition - ceil(log2 k) + popcount(k) - 1 rounds (6 for k=15).
+    def shl(x, bits):
+        # Wrap-exact for k > 16 (the reference's unsigned int): a shift by
+        # >= 32 IS the multiple of 2^32, i.e. zero (lax leaves it undefined).
+        return (x << jnp.uint32(bits)) if bits < 32 else jnp.zeros_like(x)
+
+    ladder = {1: codes}
+    m = 1
+    while 2 * m <= k:
+        p = ladder[m]
+        n2 = L - 2 * m + 1
+        ladder[2 * m] = shl(p[:, :n2], 2 * m) | p[:, m:m + n2]
+        m *= 2
+    bits = [1 << i for i in range(31) if (1 << i) & k]
+    bits.sort(reverse=True)
+    h = ladder[bits[0]]
+    off = bits[0]
+    for b in bits[1:]:
+        n = L - (off + b) + 1
+        h = shl(h[:, :n], 2 * b) | ladder[b][:, off:off + n]
+        off += b
+    h = h[:, :nk]
+
     starts = jnp.arange(nk, dtype=jnp.int32)[None, :]
     valid = starts <= (lengths[:, None] - k)
     hashes = jnp.where(valid, h, INVALID_HASH)

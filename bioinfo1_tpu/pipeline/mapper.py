@@ -930,7 +930,13 @@ class Mapper:
                     # stable across batches of the same bucket.
                     max_len = max(len(s) for s in sub)
                     cap = _bucket_cap(max_len, cfg.k + cfg.w - 1)
-                    b_budget = _pow2_at_least(max(budget, cap // 2), 8)
+                    # 3L/8 covers the expected per-strand match total
+                    # (~2L/(w+1) surviving minimizers x ~1.05 hits) with
+                    # ~10% slack; the old cap/2 padded every match buffer
+                    # and the LIS width by ~33% idle lanes.  Overflow
+                    # doubles per read via `mult` as before.
+                    b_budget = max(_pow2_at_least(budget, 8),
+                                   -(-3 * cap // (8 * 128)) * 128)
                     b_budget *= max(mult.get(i, 1) for i in sub_idxs)
                     # Per-batch fault isolation (VERDICT r02 item 8; the
                     # reference's analog catches a per-read Align throw,
