@@ -122,3 +122,28 @@ def test_oob_end_windows_mode_vs_spec():
         got = list(zip(jax.device_get(res.hashes[i])[v].tolist(),
                        jax.device_get(res.pos[i])[v].tolist()))
         assert got == [(h, p) for h, p, _ in want.minimizers], s
+
+
+def test_kmer_hashes_wrap_exact_all_k():
+    """The log-doubling hash composition must stay wrap-exact (mod 2^32,
+    the reference's unsigned int) for every k incl. > 16, where partial
+    shifts reach/exceed the 32-bit width."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from bioinfo1_tpu.ops.encode import kmer_hashes, _CODE_TABLE
+
+    rng = np.random.default_rng(0)
+    seq = np.frombuffer(b"CATG", dtype=np.uint8)[rng.integers(0, 4, (3, 100))]
+    for k in (2, 3, 7, 15, 16, 17, 31, 33):
+        lens = np.array([100, 60, k], np.int32)
+        got, valid = jax.device_get(
+            kmer_hashes(jnp.asarray(seq), jnp.asarray(lens), k))
+        codes = _CODE_TABLE[seq]
+        nk = 100 - k + 1
+        want = np.zeros((3, nk), np.uint32)
+        for j in range(k):
+            want = (want << np.uint32(2)) | codes[:, j:j + nk].astype(
+                np.uint32)
+        m = np.asarray(valid)
+        assert np.array_equal(got[m], want[m]), k
