@@ -193,13 +193,15 @@ def measure_product(genome, mapper):
     cfg = MapperConfig()        # CLI defaults (batch_size=512)
 
     def timed(records):
-        # Warm until the adaptive bands stop moving: a band that tightens
-        # after the first pass would otherwise put a fresh specialization's
-        # compile inside the timed region.
+        # Warm until the adaptive bands AND budget boosts stop moving: a
+        # knob that shifts after the last warm pass changes the jit key
+        # and puts a fresh compile inside the timed region (measured as a
+        # 40x "regression" once).
         for _ in range(4):
-            before = dict(mapper._band_by_key)
+            before = (dict(mapper._band_by_key), dict(mapper._budget_boost))
             mapper.map_records(records)                  # warm/compile
-            if dict(mapper._band_by_key) == before:
+            if (dict(mapper._band_by_key),
+                    dict(mapper._budget_boost)) == before:
                 break
         t0 = time.time()
         lines = mapper.map_records(records)
@@ -433,15 +435,15 @@ def measure_indel(genome, mapper):
 
     def timed(cfg):
         mapper.cfg = cfg
-        # Warm until the adaptive bands stabilize: the first pass runs at
-        # the default band, certificate misses jump each bucket to its
-        # needed band, and the NEXT pass compiles those specializations -
-        # timing before convergence would charge one-time compiles to the
-        # steady state.
-        for _ in range(4):
-            before = dict(mapper._band_by_key)
+        # Warm until the adaptive bands AND budget boosts stabilize: the
+        # first pass runs at the defaults, adaptation moves the jit keys,
+        # and the NEXT pass compiles those specializations - timing before
+        # convergence would charge one-time compiles to the steady state.
+        for _ in range(5):
+            before = (dict(mapper._band_by_key), dict(mapper._budget_boost))
             mapper.map_records(records)
-            if dict(mapper._band_by_key) == before:
+            if (dict(mapper._band_by_key),
+                    dict(mapper._budget_boost)) == before:
                 break
         mapper.counters = MapperCounters()
         t0 = time.time()
