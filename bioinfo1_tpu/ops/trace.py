@@ -113,12 +113,17 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
         j = jnp.where(active, j - dj, j)
         return (i, j, cost), code
 
-    # 4 walk steps per scan iteration: the walk is a serial chain of tiny
+    # 4 walk steps per loop iteration: the walk is a serial chain of tiny
     # gathers, and on TPU the per-iteration loop overhead rivals the gather
     # itself; unrolling quarters the iteration count (trailing over-steps
-    # past the origin emit OP_DONE and are ignored by the RLE).
+    # past the origin emit OP_DONE and are ignored by the RLE).  The loop
+    # EXITS once every read is done (lax.while_loop + in-place buffer
+    # updates): real paths end at goal_i+goal_j steps, ~20% short of the
+    # padded step count, and mixed buckets' short reads finish earlier
+    # still.  The buffer is pre-filled with OP_DONE so skipped iterations
+    # read as finished.
     UNROLL = 4
-    def step(carry, _):
+    def step(carry):
         codes = []
         for _k in range(UNROLL):
             carry, c = step_once(carry)
@@ -129,7 +134,25 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
               score.astype(jnp.int32))
     total_steps = 4 * S if step_packed else S
     n_iter = -(-(total_steps + 2) // UNROLL)
-    _, codes = jax.lax.scan(step, carry0, None, length=n_iter)
+    buf0 = jnp.full((n_iter, UNROLL, B), OP_DONE, jnp.uint8)
+
+    def any_active(c):
+        i, j, cost = c
+        if mode == 1:
+            return jnp.any(cost > 0)
+        return jnp.any((i > 0) | (j > 0))
+
+    def cond(state):
+        carry, it, _ = state
+        return (it < n_iter) & any_active(carry)
+
+    def body(state):
+        carry, it, buf = state
+        carry, codes = step(carry)
+        buf = jax.lax.dynamic_update_slice(buf, codes[None], (it, 0, 0))
+        return carry, it + 1, buf
+
+    _, _, codes = jax.lax.while_loop(cond, body, (carry0, jnp.int32(0), buf0))
     return codes.reshape(n_iter * UNROLL, -1)
 
 
