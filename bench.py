@@ -450,12 +450,13 @@ def measure_indel(genome, mapper):
         lines = mapper.map_records(records)
         dt = time.time() - t0
         counters = mapper.counters.as_dict()
-        # Best of two timed passes: the ~1.3 s regions sit inside this
+        # Best of three timed passes: the ~1 s regions sit inside this
         # environment's tunnel-noise band, and the score/cigar RATIO
         # jittered tens of points run-to-run on single passes.
-        t0 = time.time()
-        mapper.map_records(records)
-        dt = min(dt, time.time() - t0)
+        for _ in range(2):
+            t0 = time.time()
+            mapper.map_records(records)
+            dt = min(dt, time.time() - t0)
         assert len(lines) >= len(records) * 9 // 10, "too few reads mapped"
         return len(records) / dt, counters
 
