@@ -473,10 +473,30 @@ def measure_indel(genome, mapper):
 
 
 def run_measurement():
-    """Child-process entry: measure and print the JSON line."""
+    """Child-process entry: measure and print the JSON line.
+
+    BIOINFO1_BENCH_MINIMAL=1 (the CPU-fallback retry) skips the product /
+    indel / repeat / SoL measurements: a full product sweep on 2 CPU cores
+    would blow any reasonable driver time budget, and the headline +
+    baseline comparison is the part that must never be missing."""
+    minimal = os.environ.get("BIOINFO1_BENCH_MINIMAL") == "1"
     genome, reads, lens = make_data()
     ours, mapped, t_index, gcups, pallas_parity = measure_ours(
         genome, reads, lens)
+    if minimal:
+        bl = measure_baseline(genome, reads)
+        base = bl["reads_per_s"] if bl else None
+        import jax
+        print(json.dumps({
+            "metric": "reads_per_s_4kb_ecoli", "value": round(ours, 2),
+            "unit": "reads/s",
+            "vs_baseline": round(ours / base, 2) if base else None,
+            "extra": {"mapped": mapped, "n_reads": N_READS,
+                      "minimal_fallback": True,
+                      "platform": jax.default_backend(),
+                      "baseline_reads_per_s":
+                          round(base, 3) if base else None}}), flush=True)
+        return
     product_mapper = None
     try:
         product_mapper = make_product_mapper(genome)
@@ -580,6 +600,7 @@ def main():
         env = dict(os.environ, BIOINFO1_BENCH_CHILD="1")
         if attempt_env:
             env["BIOINFO1_PLATFORM"] = attempt_env
+            env["BIOINFO1_BENCH_MINIMAL"] = "1"
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, capture_output=True, text=True,
