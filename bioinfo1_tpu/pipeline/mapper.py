@@ -136,6 +136,14 @@ def _bucket_cap(ln: int, floor: int = 16) -> int:
     return p
 
 
+def _region_cap(cap: int) -> int:
+    """Target-region width for a length bucket: ~2x the query cap on the
+    same 1.5-step ladder as _bucket_cap.  The old pow-2 round-up charged
+    the 3/4-point buckets (1536/3072/6144) a ~33% oversized target window
+    (6144 -> 16384) through region gather, certify and m_eff."""
+    return _bucket_cap(2 * cap, 16)
+
+
 def _pack_reads(seqs: Sequence[str], min_len: int,
                 canonical: bool = True,
                 min_batch: int = 8,
@@ -665,7 +673,7 @@ class Mapper:
         ops/pallas_band.py); keep it under ~4 GB and never wider than the
         whole-matrix certainty threshold (W >= region_cap + 2)."""
         mem_cap = int(4e9 // max(3 * cap * batch // 4, 1))
-        return min(_pow2_at_least(2 * cap, 128) + 128,
+        return min(_region_cap(cap) + 128,
                    max(256, (mem_cap // 128) * 128))
 
     def _adapt_band_score(self, cap: int, out, n_real: int) -> None:
@@ -689,7 +697,7 @@ class Mapper:
         W = -(-band // 128) * 128
         ql = np.minimum(out.q_end - out.q_begin + 1, cap)[:n_real]
         tl = np.minimum(out.t_end - out.t_begin + 1,
-                        _pow2_at_least(2 * cap, 128))[:n_real]
+                        _region_cap(cap))[:n_real]
         score = out.score[:n_real]
         mapped = out.mapped[:n_real]
         n_mapped = int(mapped.sum())
@@ -741,7 +749,7 @@ class Mapper:
                                     max(len(s) for s in seqs),
                                     cfg.k + cfg.w - 1))
         cap = arr.shape[1]
-        region_cap = _pow2_at_least(2 * cap, 128)
+        region_cap = _region_cap(cap)
         use_pallas = jax.default_backend() == "tpu"
         mode = MODE_BY_NAME[cfg.align_type]
         scoring = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
