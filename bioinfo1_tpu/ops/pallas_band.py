@@ -53,7 +53,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
+def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
             q_ref, ql_ref, t_ref, tl_ref, qd0_ref, td0_ref, prm_ref,
             score_ref, gi_ref, gj_ref, par_ref,
             h2_s, h1_s, qd_s, td_s, qchunk_s, tchunk_s, pbuf_s, dma_sem):
@@ -141,11 +141,19 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
         left = jnp.where(p == 0, h1_p, h1)
 
         sub = jnp.where(qd == td, match, mismatch)
-        del_cost = jnp.where(qd == _DASH, 0, gap)
-        ins_cost = jnp.where(td == _DASH, 0, gap)
         diag_v = h2 + sub
-        left_v = left + ins_cost
-        up_v = up + del_cost
+        if dash_free:
+            # Static specialization: callers proved no input byte is '-'
+            # (host-side scan at ingestion), so the reference's literal-dash
+            # free-gap rule (team_alignment.cpp:25-28) is a no-op and its
+            # 2 compares + 2 selects per cell drop out of the VPU-bound sweep.
+            left_v = left + gap
+            up_v = up + gap
+        else:
+            del_cost = jnp.where(qd == _DASH, 0, gap)
+            ins_cost = jnp.where(td == _DASH, 0, gap)
+            left_v = left + ins_cost
+            up_v = up + del_cost
         if want_parents:
             # M > I > D first-set / strictly-greater priority
             # (team_alignment.cpp:104-114).
@@ -287,14 +295,15 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode,
 
 
 @functools.partial(jax.jit, static_argnames=("band", "block", "interpret",
-                                              "want_parents", "mode"))
+                                              "want_parents", "mode",
+                                              "dash_free"))
 def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
                         t_bytes: jax.Array, t_lens: jax.Array,
                         match: jax.Array, mismatch: jax.Array,
                         gap: jax.Array, band: int = 256, block: int = 0,
                         interpret: bool = False,
                         want_parents: bool = False,
-                        mode: int = 0) -> AlignOut:
+                        mode: int = 0, dash_free: bool = False) -> AlignOut:
     """Banded scores for all three modes; exact iff `certify(..., mode=)`
     (else a lower bound of the in-band optimum).  Drop-in AlignOut like
     align_scores; local/semiGlobal goal cells come from in-band argmax /
@@ -352,7 +361,7 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     CH = 128                                  # parent-flush chunk (steps)
     steps_pad = _round_up(n_steps, CH)
     kernel = functools.partial(_kernel, W, BT, n_pad, m_eff, n_steps,
-                               want_parents, CH, mode)
+                               want_parents, CH, mode, dash_free)
     grid = (b_pad // BT,)
     row_spec = pl.BlockSpec((BT, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -95,7 +95,7 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
                      budget: int = 512, region_cap: int = 0,
                      use_pallas: bool = False, band: int = 0,
                      oob_end_windows: bool = False,
-                     index_specs=None):
+                     index_specs=None, dash_free: bool = False):
     """Build a jitted data-parallel map step bound to ``mesh``.
 
     Returns fn(reads (B,L), lens (B,), index, match, mismatch, gap) with B a
@@ -114,7 +114,7 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
                            k=k, w=w, mode=mode, budget=budget,
                            region_cap=region_cap, use_pallas=use_pallas,
                            band=band, oob_end_windows=oob_end_windows,
-                           shard_axis=axis)
+                           shard_axis=axis, dash_free=dash_free)
 
     ispec = index_specs if index_specs is not None else P()
     fn = shard_map(
@@ -131,7 +131,7 @@ def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
                            budget: int = 512, region_cap: int = 0,
                            use_pallas: bool = False, band: int = 256,
                            oob_end_windows: bool = False,
-                           index_specs=None):
+                           index_specs=None, dash_free: bool = False):
     """Data-parallel fused -c step (map_step_cigar over ``mesh``).
 
     Same contract as sharded_map_step (incl. sharded-index support via
@@ -148,7 +148,7 @@ def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
                                  k=k, w=w, mode=mode, budget=budget,
                                  region_cap=region_cap, use_pallas=use_pallas,
                                  band=band, oob_end_windows=oob_end_windows,
-                                 shard_axis=axis)
+                                 shard_axis=axis, dash_free=dash_free)
 
     out_specs = dm.CigarOut(
         base=jax.tree.map(lambda _: P("data"), dm.MapOut(

@@ -436,14 +436,15 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
                                     "use_pallas", "oob_end_windows", "band",
-                                    "shard_axis"))
+                                    "shard_axis", "dash_free"))
 def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
              match: jax.Array, mismatch: jax.Array, gap: jax.Array,
              *, k: int, w: int, mode: int,
              budget: int = 512, region_cap: int = 0,
              use_pallas: bool = False,
              oob_end_windows: bool = False,
-             band: int = 0, shard_axis=None) -> MapOut:
+             band: int = 0, shard_axis=None,
+             dash_free: bool = False) -> MapOut:
     """Map a read batch end-to-end on device (score-only).
 
     Args:
@@ -480,7 +481,8 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         from bioinfo1_tpu.ops import pallas_band as pb
         bout = pb.align_scores_banded(q_win, q_len, t_win, t_len,
                                       match, mismatch, gap, band=band,
-                                      interpret=not use_pallas, mode=mode)
+                                      interpret=not use_pallas, mode=mode,
+                                      dash_free=dash_free)
         certified = pb.certify(bout.score, q_win, q_len, t_win, t_len,
                                match, mismatch, gap, band, mode=mode)
         need_full = jnp.any(mapped & ~certified)
@@ -523,14 +525,15 @@ class CigarOut:
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "mode", "budget", "region_cap",
                                     "use_pallas", "oob_end_windows", "band",
-                                    "shard_axis"))
+                                    "shard_axis", "dash_free"))
 def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                    match: jax.Array, mismatch: jax.Array, gap: jax.Array,
                    *, k: int, w: int, mode: int,
                    budget: int = 512, region_cap: int = 0,
                    use_pallas: bool = False,
                    oob_end_windows: bool = False,
-                   band: int = 256, shard_axis=None) -> CigarOut:
+                   band: int = 256, shard_axis=None,
+                   dash_free: bool = False) -> CigarOut:
     """Fused -c step: map_step plus banded-parents alignment and the
     on-device traceback walk, for ALL THREE alignment modes (local /
     semiGlobal goal cells come from the banded kernel's in-band argmax /
@@ -557,7 +560,8 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     if use_pallas:
         out = pb.align_scores_banded(q_win, q_len, t_win, t_len,
                                      match, mismatch, gap, band=band,
-                                     want_parents=True, mode=mode)
+                                     want_parents=True, mode=mode,
+                                     dash_free=dash_free)
         lane_mult = 128
     else:
         out = al.align_banded_parents(q_win, q_len, t_win, t_len,

@@ -343,8 +343,9 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
                        # bound even when `banded` stays empty
         # The certificate machinery only applies under the modes' gap-sign
         # preconditions and (global) without literal '-' bytes.
+        dash_free = not ((qa == ord("-")).any() or (ta == ord("-")).any())
         cert_ok = ((cfg.gap < 0) if mode_i == 0 else (cfg.gap <= 0)) and not (
-            mode_i == 0 and ((qa == ord("-")).any() or (ta == ord("-")).any()))
+            mode_i == 0 and not dash_free)
         if use_band and cert_ok:
             from bioinfo1_tpu.ops import pallas_band as pb
 
@@ -358,7 +359,8 @@ def _map_bucket(seqs: Sequence[str], index: IndexArrays, cfg: MapperConfig,
                         bt //= 2
                     return pb.align_scores_banded(
                         qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
-                        band=W, block=bt, want_parents=True, mode=mode_i), 128
+                        band=W, block=bt, want_parents=True, mode=mode_i,
+                        dash_free=bool(dash_free)), 128
                 return al.align_banded_parents(
                     qa, ql, ta, tl, cfg.match, cfg.mismatch, cfg.gap,
                     band=W, mode=mode_i), 16
@@ -483,6 +485,13 @@ class Mapper:
                 oob_end_windows=cfg.oob_end_windows)
         import threading
         self.ref_len = len(reference)
+        # One O(genome) host scan enabling the kernels' dash-free
+        # specialization (the reference's literal-'-' free-gap rule,
+        # team_alignment.cpp:25-28, costs 4 VPU ops per DP cell and real
+        # inputs never contain '-').  Both strands: the revcomp table maps
+        # non-base bytes to themselves, but check rather than assume.
+        self._ref_dash_free = ("-" not in self.index.ref_fwd_seq
+                               and "-" not in self.index.ref_rev_seq)
         self.counters = MapperCounters()
         self._counters_lock = threading.Lock()   # map_batch runs on worker
         self._band_by_key: dict = {}     # (cap, for_cigar) -> band
@@ -583,19 +592,21 @@ class Mapper:
                      if self._replicated_index is not None
                      and self._replicated_index.shard_range else None)
             if key[0] == "cigar":
-                (_, mode, budget, region_cap, use_pallas, band, oob) = key
+                (_, mode, budget, region_cap, use_pallas, band, oob,
+                 dash_free) = key
                 fn = ps.sharded_map_step_cigar(
                     mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
                     budget=budget, region_cap=region_cap,
                     use_pallas=use_pallas, band=band, oob_end_windows=oob,
-                    index_specs=specs)
+                    index_specs=specs, dash_free=dash_free)
             else:
-                (mode, budget, region_cap, use_pallas, band, oob) = key
+                (mode, budget, region_cap, use_pallas, band, oob,
+                 dash_free) = key
                 fn = ps.sharded_map_step(
                     mesh, k=self.cfg.k, w=self.cfg.w, mode=mode,
                     budget=budget, region_cap=region_cap,
                     use_pallas=use_pallas, band=band, oob_end_windows=oob,
-                    index_specs=specs)
+                    index_specs=specs, dash_free=dash_free)
             self._sharded_steps[key] = fn
         return self._sharded_steps[key]
 
@@ -754,14 +765,18 @@ class Mapper:
         mode = MODE_BY_NAME[cfg.align_type]
         scoring = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
                    jnp.int32(cfg.gap))
+        # Per-batch read scan (numpy, one pass over B*L bytes) + the init-time
+        # genome scan: when neither side can contain '-', the banded kernel
+        # drops the free-gap compares/selects (ops/pallas_band.py dash_free).
+        dash_free = bool(self._ref_dash_free and not (arr == 45).any())
 
         def run(band):
             if cfg.output_cigar:
                 key = ("cigar", mode, budget, region_cap, use_pallas, band,
-                       cfg.oob_end_windows)
+                       cfg.oob_end_windows, dash_free)
             else:
                 key = (mode, budget, region_cap, use_pallas, band,
-                       cfg.oob_end_windows)
+                       cfg.oob_end_windows, dash_free)
             if mesh is not None:
                 # Index placement first: the step builder's in_specs depend
                 # on whether the index landed replicated or sharded.
@@ -775,7 +790,8 @@ class Mapper:
                 k=cfg.k, w=cfg.w, mode=mode,
                 budget=budget, region_cap=region_cap,
                 use_pallas=use_pallas,
-                oob_end_windows=cfg.oob_end_windows, band=band))
+                oob_end_windows=cfg.oob_end_windows, band=band,
+                dash_free=dash_free))
 
         cig = None
         if cfg.output_cigar:

@@ -276,3 +276,42 @@ def test_pallas_banded_parents_match_lax():
                              len(ts[b]), "global", int(pal_o.score[b]),
                              1, -1, -1, band=128)
         assert c1 == c2, (b, c1, c2)
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_dash_free_specialization_identical(mode):
+    """dash_free=True (static kernel specialization dropping the literal-'-'
+    free-gap compares, team_alignment.cpp:25-28) is bit-identical to the
+    general kernel on dash-free inputs: scores, goal cells AND the packed
+    parent stream."""
+    pairs = _ont_like_pairs(99, 8)
+    qa, ql = _pack([p[0] for p in pairs], max(len(p[0]) for p in pairs))
+    ta, tl = _pack([p[1] for p in pairs], max(len(p[1]) for p in pairs))
+    kw = dict(band=128, block=8, interpret=True, want_parents=True,
+              mode=mode)
+    gen = pb.align_scores_banded(qa, ql, ta, tl, 2, -1, -2, **kw)
+    fast = pb.align_scores_banded(qa, ql, ta, tl, 2, -1, -2,
+                                  dash_free=True, **kw)
+    np.testing.assert_array_equal(np.asarray(gen.score),
+                                  np.asarray(fast.score))
+    np.testing.assert_array_equal(np.asarray(gen.goal_i),
+                                  np.asarray(fast.goal_i))
+    np.testing.assert_array_equal(np.asarray(gen.goal_j),
+                                  np.asarray(fast.goal_j))
+    np.testing.assert_array_equal(np.asarray(gen.parents),
+                                  np.asarray(fast.parents))
+
+
+def test_dash_inputs_route_to_general_kernel():
+    """The mapper's host-side scans must keep dash inputs OFF the
+    specialized kernel: with a literal '-' the two kernels genuinely
+    differ (free gap vs charged gap), which is what the scans protect."""
+    qa, ql = _pack(["AC-GT"], 8)
+    ta, tl = _pack(["ACGT"], 8)
+    gen = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1,
+                                 band=128, block=8, interpret=True)
+    fast = pb.align_scores_banded(qa, ql, ta, tl, 1, -1, -1,
+                                  band=128, block=8, interpret=True,
+                                  dash_free=True)
+    # '-' aligned as a free deletion under the general rule.
+    assert int(gen.score[0]) > int(fast.score[0])
