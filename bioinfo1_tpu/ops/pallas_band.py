@@ -83,62 +83,79 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
             jnp.where(lanes128 == off, chunk_s[...].astype(jnp.int32), 0),
             axis=1, keepdims=True)
 
-    def make_step(borders, goal):
-        return functools.partial(step, borders, goal)
+    def make_pair(borders, goal):
+        """Two anti-diagonals per fori_loop iteration with STATIC parity.
+        The per-step parity selects (qd/td shift gating, up/left neighbour
+        choice) and half the chunk-byte extractions (q consumed on even d
+        only, t on odd only) drop out, and loop overhead halves.  Safe
+        because i0 is identical within an (even, odd) pair and the target
+        byte index first crosses a 128-chunk boundary on the odd step, so
+        staging q on even / t on odd sub-steps preserves the streaming
+        sequence exactly."""
+        def pair(e, carry):
+            d0 = 2 * e
+            carry = step(borders, goal, 0, d0, carry)
+            return step(borders, goal, 1, d0 + 1, carry)
+        return pair
 
-    def step(borders, goal, d, carry):
-        """One anti-diagonal.  ``borders``/``goal`` are STATIC phase flags:
-        for d >= W+2 the band interior cannot touch row 0 / column 0 (min
-        i_lane = ceil((d-W)/2) >= 1, same for j_lane) and no lane is
+    def step(borders, goal, p, d, carry):
+        """One anti-diagonal.  ``borders``/``goal``/``p`` are STATIC phase
+        flags: for d >= W+2 the band interior cannot touch row 0 / column 0
+        (min i_lane = ceil((d-W)/2) >= 1, same for j_lane) and no lane is
         outside the matrix, so the three border masks are provably no-ops;
         in mode 0 the goal capture only ever fires at d == ql+tl, so steps
         before the tile's smallest real goal skip that bookkeeping too.
         Stripping both from the long middle phase removes ~14 of ~36
-        vector ops per cell (the sweep is VPU-bound)."""
+        vector ops per cell (the sweep is VPU-bound); the static parity
+        strips another ~6."""
         score, bc, bi, bj, cc, ci, rc, rj, pacc = carry
-        p = jax.lax.rem(d, 2)
         i0 = (d + W) // 2                                  # row at lane 0
         j0 = d - i0                                        # col at lane 0
 
-        # --- stream query byte q[i0-1] into lane 0 on even steps ---
-        aq = jnp.clip(i0 - 1, 0, n_len - 1)
-        offq = jax.lax.rem(aq, 128)
-        baseq = pl.multiple_of(aq - offq, 128)
+        if p == 0:
+            # --- stream query byte q[i0-1] into lane 0 (even steps) ---
+            aq = jnp.clip(i0 - 1, 0, n_len - 1)
+            offq = jax.lax.rem(aq, 128)
+            baseq = pl.multiple_of(aq - offq, 128)
 
-        @pl.when((offq == 0) | (d == 2))
-        def _():
-            qchunk_s[...] = q_ref[:, pl.ds(baseq, 128)]
+            @pl.when((offq == 0) | (d == 2))
+            def _():
+                qchunk_s[...] = q_ref[:, pl.ds(baseq, 128)]
 
-        at = jnp.clip(j0 + W - 2, 0, m_len - 1)
-        offt = jax.lax.rem(at, 128)
-        baset = pl.multiple_of(at - offt, 128)
+            qd = qd_s[...]
+            qnew = chunk_byte(qchunk_s, offq)
+            qd = jnp.where(lanes == 0, qnew, pltpu.roll(qd, shift=1, axis=1))
+            qd_s[...] = qd
+            td = td_s[...]
+        else:
+            # --- stream target byte t[j0+W-2] into lane W-1 (odd steps) ---
+            at = jnp.clip(j0 + W - 2, 0, m_len - 1)
+            offt = jax.lax.rem(at, 128)
+            baset = pl.multiple_of(at - offt, 128)
 
-        @pl.when((offt == 0) | (d == 3))
-        def _():
-            tchunk_s[...] = t_ref[:, pl.ds(baset, 128)]
+            @pl.when((offt == 0) | (d == 3))
+            def _():
+                tchunk_s[...] = t_ref[:, pl.ds(baset, 128)]
 
-        qd = qd_s[...]
-        td = td_s[...]
-        qnew = chunk_byte(qchunk_s, offq)
-        qd_shift = jnp.where(lanes == 0, qnew, pltpu.roll(qd, shift=1, axis=1))
-        qd = jnp.where(p == 0, qd_shift, qd)
-        qd_s[...] = qd
-        tnew = chunk_byte(tchunk_s, offt)
-        td_shift = jnp.where(lanes == W - 1, tnew,
-                             pltpu.roll(td, shift=W - 1, axis=1))
-        td = jnp.where(p == 0, td, td_shift)
-        td_s[...] = td
+            qd = qd_s[...]
+            td = td_s[...]
+            tnew = chunk_byte(tchunk_s, offt)
+            td = jnp.where(lanes == W - 1, tnew,
+                           pltpu.roll(td, shift=W - 1, axis=1))
+            td_s[...] = td
 
         h2 = h2_s[...]
         h1 = h1_s[...]
         # Up (i-1, j): lane l on even d, l+1 on odd.  Left (i, j-1): l-1 on
         # even d, l on odd.  Band-edge rolls wrap, so mask them to invalid.
-        h1_m = pltpu.roll(h1, shift=W - 1, axis=1)
-        h1_m = jnp.where(lanes == W - 1, _NEG, h1_m)
-        h1_p = pltpu.roll(h1, shift=1, axis=1)
-        h1_p = jnp.where(lanes == 0, _NEG, h1_p)
-        up = jnp.where(p == 0, h1, h1_m)
-        left = jnp.where(p == 0, h1_p, h1)
+        if p == 0:
+            up = h1
+            left = pltpu.roll(h1, shift=1, axis=1)
+            left = jnp.where(lanes == 0, _NEG, left)
+        else:
+            up = pltpu.roll(h1, shift=W - 1, axis=1)
+            up = jnp.where(lanes == W - 1, _NEG, up)
+            left = h1
 
         sub = jnp.where(qd == td, match, mismatch)
         diag_v = h2 + sub
@@ -264,19 +281,25 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
     # at the tile's largest one (dynamic bound).  Phases (see step):
     # [2, W+2) with borders; then border-free, and for mode 0 the goal
     # capture only runs from the tile's smallest real goal diagonal on.
+    # All phase boundaries are rounded to EVEN diagonals for the 2-step
+    # pair loop: the border end rounds UP (border masks are no-ops one step
+    # late), the goal start rounds DOWN (capture is exact-guarded), and the
+    # sweep end rounds UP (the extra trailing diagonal only touches
+    # scratch; captures stay guarded by their exact per-read conditions).
     d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
-    d_border = jnp.minimum(jnp.int32(W + 2), d_stop + 1)
-    carry = jax.lax.fori_loop(2, d_border, make_step(True, True), carry0)
+    e_end = (d_stop + 2) // 2                  # pairs cover d <= d_stop
+    e_border = jnp.minimum(jnp.int32((W + 2) // 2), e_end)
+    carry = jax.lax.fori_loop(1, e_border, make_pair(True, True), carry0)
     if mode == 0:
         d_goal = jnp.min(jnp.where(ql > 0, ql + tl, jnp.int32(2**30)))
-        d_goal = jnp.clip(d_goal, d_border, d_stop + 1)
-        carry = jax.lax.fori_loop(d_border, d_goal,
-                                  make_step(False, False), carry)
-        carry = jax.lax.fori_loop(d_goal, d_stop + 1,
-                                  make_step(False, True), carry)
+        e_goal = jnp.clip(d_goal // 2, e_border, e_end)
+        carry = jax.lax.fori_loop(e_border, e_goal,
+                                  make_pair(False, False), carry)
+        carry = jax.lax.fori_loop(e_goal, e_end,
+                                  make_pair(False, True), carry)
     else:
-        carry = jax.lax.fori_loop(d_border, d_stop + 1,
-                                  make_step(False, True), carry)
+        carry = jax.lax.fori_loop(e_border, e_end,
+                                  make_pair(False, True), carry)
     score, bc, bi, bj, cc, ci, rc, rj, _ = carry
     if mode == 0:
         score_ref[...] = score
