@@ -279,7 +279,7 @@ def measure_sol():
                 q2 = jnp.bitwise_xor(q, (i % 2).astype(jnp.uint8))
                 r = pb.align_scores_banded(
                     q2, ql, t, tl, jnp.int32(1), jnp.int32(-1),
-                    jnp.int32(-1), band=W, mode=0)
+                    jnp.int32(-1), band=W, mode=0, dash_free=True)
                 return acc + jnp.sum(r.score) + i
 
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))

@@ -159,30 +159,35 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
 
         sub = jnp.where(qd == td, match, mismatch)
         diag_v = h2 + sub
-        if dash_free:
+        if dash_free and not want_parents:
             # Static specialization: callers proved no input byte is '-'
             # (host-side scan at ingestion), so the reference's literal-dash
             # free-gap rule (team_alignment.cpp:25-28) is a no-op and its
-            # 2 compares + 2 selects per cell drop out of the VPU-bound sweep.
-            left_v = left + gap
-            up_v = up + gap
+            # 2 compares + 2 selects per cell drop out of the VPU-bound
+            # sweep.  Score-only also shares the single gap scalar across
+            # both indel branches: max(left, up) + gap saves one more add.
+            h = jnp.maximum(diag_v, jnp.maximum(left, up) + gap)
         else:
-            del_cost = jnp.where(qd == _DASH, 0, gap)
-            ins_cost = jnp.where(td == _DASH, 0, gap)
-            left_v = left + ins_cost
-            up_v = up + del_cost
-        if want_parents:
-            # M > I > D first-set / strictly-greater priority
-            # (team_alignment.cpp:104-114).
-            h = diag_v
-            parent = jnp.zeros_like(h)
-            h = jnp.where(left_v > h, left_v, h)
-            parent = jnp.where(left_v > diag_v, 1, parent)
-            take_d = up_v > h
-            h = jnp.where(take_d, up_v, h)
-            parent = jnp.where(take_d, 2, parent)
-        else:
-            h = jnp.maximum(jnp.maximum(diag_v, left_v), up_v)
+            if dash_free:
+                left_v = left + gap
+                up_v = up + gap
+            else:
+                del_cost = jnp.where(qd == _DASH, 0, gap)
+                ins_cost = jnp.where(td == _DASH, 0, gap)
+                left_v = left + ins_cost
+                up_v = up + del_cost
+            if want_parents:
+                # M > I > D first-set / strictly-greater priority
+                # (team_alignment.cpp:104-114).
+                h = diag_v
+                parent = jnp.zeros_like(h)
+                h = jnp.where(left_v > h, left_v, h)
+                parent = jnp.where(left_v > diag_v, 1, parent)
+                take_d = up_v > h
+                h = jnp.where(take_d, up_v, h)
+                parent = jnp.where(take_d, 2, parent)
+            else:
+                h = jnp.maximum(jnp.maximum(diag_v, left_v), up_v)
 
         i_lane = i0 - lanes
         j_lane = d - i_lane
