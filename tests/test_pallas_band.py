@@ -315,3 +315,28 @@ def test_dash_inputs_route_to_general_kernel():
                                   dash_free=True)
     # '-' aligned as a free deletion under the general rule.
     assert int(gen.score[0]) > int(fast.score[0])
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_pair_loop_tiny_length_grid(mode):
+    """Exhaustive tiny-length grid for the 2-diagonals-per-iteration loop:
+    every (ql, tl) parity combination, goals on the very first diagonals,
+    and d_stop/d_border interactions far below W+2.  Band >= matrix, so
+    certify's `whole` term holds and banded must equal the full DP."""
+    rng = random.Random(3)
+    pairs = [("".join(rng.choice("ACGT") for _ in range(a)),
+              "".join(rng.choice("ACGT") for _ in range(b)))
+             for a in range(1, 7) for b in range(1, 7)]
+    qa, ql = _pack([p[0] for p in pairs], 8)
+    ta, tl = _pack([p[1] for p in pairs], 8)
+    want = al.align_batch(qa, ql, ta, tl, mode, 2, -1, -2)
+    got = pb.align_scores_banded(qa, ql, ta, tl, 2, -1, -2,
+                                 band=128, block=8, interpret=True,
+                                 mode=mode, dash_free=True)
+    np.testing.assert_array_equal(np.asarray(got.score),
+                                  np.asarray(want.score))
+    if mode != 0:
+        np.testing.assert_array_equal(np.asarray(got.goal_i),
+                                      np.asarray(want.goal_i))
+        np.testing.assert_array_equal(np.asarray(got.goal_j),
+                                      np.asarray(want.goal_j))
