@@ -167,36 +167,59 @@ def minimize_batch(seq_bytes: jax.Array, lengths: jax.Array,
     valid = jnp.concatenate(parts_v, axis=1)
     hashes = jnp.where(valid, hashes, INVALID_HASH)
     positions = jnp.where(valid, positions, INVALID_POS)
-    dedup = _first_occurrence_mask(hashes, positions, valid)
+    dedup = _first_occurrence_mask(hashes, positions, valid, w)
     return Minimizers(hashes=hashes, pos=positions, valid=valid,
                       dedup_keep=dedup)
 
 
-def _first_occurrence_mask(hashes, positions, valid):
+def _first_occurrence_mask(hashes, positions, valid, w):
     """Order-preserving first-occurrence mask of (hash, pos) per row.
 
-    Sort-based: order rows by (hash, pos, slot); within a run of equal
-    (hash, pos) only the smallest original slot survives.  Invalid slots
-    (sentinel keys) never survive.
+    Exploits the emit-order structure instead of sorting: within the
+    [prefix windows][dense windows] part of the layout, duplicate (hash,
+    pos) winners are provably CONSECUTIVE, so a compare-with-previous-slot
+    pass finds them all.  Proof sketch (leftmost-min tie rule throughout):
 
-    One batched ``lax.sort`` over the row axis plus ONE scatter back to slot
-    order: sorts and scatters are vectorized on TPU, whereas the per-row
-    gather formulation this replaces (vmapped ``h[order]``) lowered to
-    element-serial gathers (~37 ms per 256x4k batch -> ~3 ms).
+      * dense windows: if (h, p) wins windows s1 < s2 then p lies in both,
+        so every window between them contains p and is covered by the union
+        of s1's and s2's ranges - a better winner in between would have
+        beaten (h, p) in s1 or s2;
+      * growing prefix windows [0, s): winners are min-monotone, so equal
+        winners are adjacent in s;
+      * a dense window duplicating a prefix winner forces the whole dense
+        run back to window 0, whose winner then equals the size-(w-1)
+        prefix winner - the immediately preceding slot.
+
+    Only the trailing w-1 SUFFIX slots can duplicate a non-adjacent slot
+    (their windows re-cover the sequence tail the dense sweep already
+    emitted), so each of them is checked exactly against all earlier slots
+    - (w-1) broadcast compares over (B, T).
+
+    This replaces a 3-key batched lax.sort + scatter (~169 bitonic passes
+    at T ~ 8k) with ~6 + 4*(w-1) vector passes: the sort was the minimize
+    stage's dominant cost (59 ms of a 177 ms front half per 512 x 8 kb
+    batch).
     """
     B, T = hashes.shape
-    slot = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
-    # Stability comes from slot as the 3rd key; `valid` rides along.
-    hs, ps, ss, vs = jax.lax.sort(
-        (hashes, positions, slot, valid.astype(jnp.int8)),
-        dimension=1, num_keys=3)
-    new_run = jnp.concatenate([
-        jnp.ones((B, 1), dtype=bool),
-        (hs[:, 1:] != hs[:, :-1]) | (ps[:, 1:] != ps[:, :-1]),
+    same_prev = jnp.concatenate([
+        jnp.zeros((B, 1), dtype=bool),
+        (hashes[:, 1:] == hashes[:, :-1])
+        & (positions[:, 1:] == positions[:, :-1]) & valid[:, :-1],
     ], axis=1)
-    keep_sorted = new_run & (vs != 0)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    return jnp.zeros((B, T), dtype=bool).at[rows, ss].set(keep_sorted)
+    keep = valid & ~same_prev
+    ns = min(w - 1, T - 1)
+    if ns <= 0:
+        return keep
+    lanes = jnp.arange(T, dtype=jnp.int32)[None, :]
+    cols = []
+    for j in range(ns):
+        e = T - ns + j
+        dup = jnp.any((lanes < e) & valid
+                      & (hashes == hashes[:, e][:, None])
+                      & (positions == positions[:, e][:, None]), axis=1)
+        cols.append(valid[:, e] & ~dup)
+    return jnp.concatenate([keep[:, :T - ns],
+                            jnp.stack(cols, axis=1)], axis=1)
 
 
 def window_frequencies(hashes: jax.Array, valid: jax.Array,
