@@ -89,3 +89,32 @@ def test_pallas_chain_sorted_matches_lax():
             np.testing.assert_array_equal(g, w)
         else:
             np.testing.assert_array_equal(g[has], w[has], err_msg=field)
+
+
+def test_pallas_chain_multi_chunk_repeat():
+    """Multi-chunk coverage of the r05 chunked DP: > C=256 matches per row
+    with repeat-copy structure (window-straddling r offsets), so the
+    cross-chunk phase, the expiry skip, and the chunked backtrack all run."""
+    rng = np.random.default_rng(5)
+    B, N = 6, 700                                  # 3 chunks (C=256)
+    f = np.zeros((B, N), np.int32)
+    r = np.zeros((B, N), np.int32)
+    cnt = np.zeros((B,), np.int32)
+    for i in range(B):
+        n = int(rng.integers(N // 2, N + 1))
+        cnt[i] = n
+        fs = np.sort(rng.integers(1, 12000, n)).astype(np.int32)
+        copies = rng.integers(0, 7, n).astype(np.int32)
+        f[i, :n] = fs
+        r[i, :n] = fs + copies * 5300 + rng.integers(-80, 80, n)
+    want = chain_ops.lis_chain(f, r, cnt)
+    got = pc.lis_chain(f, r, cnt, interpret=True)
+    has = jax.device_get(want.length) > 0
+    assert has.any()
+    for field in ("length", "q_start", "q_end", "t_start", "t_end"):
+        w = jax.device_get(getattr(want, field))
+        g = jax.device_get(getattr(got, field))
+        if field == "length":
+            np.testing.assert_array_equal(g, w)
+        else:
+            np.testing.assert_array_equal(g[has], w[has], err_msg=field)
