@@ -156,6 +156,181 @@ def walk_parents(parents: jax.Array, goal_i: jax.Array, goal_j: jax.Array,
     return codes.reshape(n_iter * UNROLL, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
+                        goal_j: jax.Array, band: int,
+                        interpret: bool = False) -> jax.Array:
+    """Pallas traceback walk over the band kernel's 4-step-packed parents.
+
+    Returns (D4, B) uint8 codes ALREADY packed 4-per-byte (pack_codes
+    layout), indexed by ANTI-DIAGONAL: entry t (= row t>>2, bit 2*(t&3))
+    holds diagonal d = D_hi - t, descending.  A read emits its op when the
+    sweep reaches its current diagonal and 3 (skip) otherwise - before its
+    goal diagonal, after reaching the origin, and on the diagonal a match
+    step jumps over.  Decoders skip code 3 (utils/cigar.cigar_from_codes,
+    native/cigar.cpp), so the non-3 subsequence is exactly the goal->origin
+    walk the XLA path produces.
+
+    Why: the XLA walk is a serial chain of one-byte HBM gathers
+    (~8.5 us/round at B=512 - gather LATENCY, DESIGN.md section 20).  Here
+    the parent rows stream through VMEM in descending double-buffered DMA
+    slabs (dense reads at HBM bandwidth) and the per-diagonal extraction is
+    a (B, W) masked reduce on the VPU - 48 -> ~16 ms per 512 x 8 kb batch.
+    Global/semiGlobal only (the local walk needs per-step byte costs, which
+    would add a (B, n)-wide reduce per diagonal; mode 1 keeps the XLA walk).
+
+    Args:
+      parents: (S4, B, W) uint8, the Pallas band kernel's packed layout
+        (step idx = d-2 at row idx>>2, bit 2*(idx&3), lane
+        (j-i+W-(d&1))/2).
+      goal_i/goal_j: (B,) walk start cells (mode-0 goals are (ql, tl);
+        semiGlobal goals come from the rim argmax).
+      band: static band width W (multiple of 128).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S4, B, W = parents.shape
+    assert W == band
+    R = 8                                   # parent rows per DMA slab
+    S4p = -(-S4 // R) * R
+    D_hi = 4 * S4 + 1                       # largest representable diagonal
+    D4 = -(-(D_hi) // 4)
+    CH4 = 32                                # packed out rows per DMA flush
+    D4p = -(-D4 // CH4) * CH4
+    b_pad = -(-B // 128) * 128
+
+    gi = jnp.zeros((1, b_pad), jnp.int32).at[0, :B].set(
+        goal_i.astype(jnp.int32))
+    gj = jnp.zeros((1, b_pad), jnp.int32).at[0, :B].set(
+        goal_j.astype(jnp.int32))
+
+    def kernel(par_ref, gi_ref, gj_ref, out_ref, slab_s, obuf_s, in_sem,
+               out_sem):
+        NC = W // 128
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (b_pad, 2 * 128), 1)
+        chunks = jax.lax.broadcasted_iota(jnp.int32, (b_pad, NC, 128), 1)
+
+        def slab_dma(s, buf):
+            return pltpu.make_async_copy(
+                par_ref.at[pl.ds(pl.multiple_of(s * R, R), R)],
+                slab_s.at[buf], in_sem.at[buf])
+
+        s_top = (S4 - 1) // R
+        slab_dma(s_top, s_top % 2).start()
+
+        i0 = jnp.swapaxes(gi_ref[...], 0, 1)          # (b_pad, 1)
+        j0 = jnp.swapaxes(gj_ref[...], 0, 1)
+        rows_ch = jax.lax.broadcasted_iota(jnp.int32, (CH4, b_pad), 0)
+        cache0 = jnp.zeros((b_pad, 2 * 128), jnp.int32)
+        cbase0 = jnp.zeros((b_pad, 1), jnp.int32)
+
+        def step(t, carry):
+            i, j, acc, obuf, cur_slab, cache, cbase = carry
+            d = D_hi - t
+            rp = jnp.clip((d - 2) >> 2, 0, S4 - 1)
+            s = rp // R
+
+            @pl.when(s < cur_slab)
+            def _():
+                slab_dma(s, s % 2).wait()
+
+                @pl.when(s >= 1)
+                def _():
+                    slab_dma(s - 1, (s - 1) % 2).start()
+
+            cur_slab = jnp.minimum(cur_slab, s)
+            lane = (j - i + W - (d & 1)) >> 1
+            # Two-level extraction: refresh a per-read 256-lane window of
+            # the parent row once per 4-diagonal ROW GROUP (the cursor
+            # drifts <= 1 lane per step, so a window anchored 4 lanes below
+            # the group-entry lane covers the whole group), then the
+            # per-diagonal byte select runs on (B, 256) instead of (B, W)
+            # - the walk's dominant cost at wide bands scaled with W.
+            new_group = (t == 0) | (((d - 2) & 3) == 3)
+
+            def refresh(_):
+                prow = slab_s[s % 2, rp % R]          # (b_pad, W) uint8
+                c = jnp.clip((lane - 4) >> 7, 0, max(NC - 2, 0))
+                view = prow.reshape(b_pad, NC, 128).astype(jnp.int32)
+                lo = jnp.sum(jnp.where(chunks == c[:, :, None], view, 0),
+                             axis=1)
+                hi_c = jnp.minimum(c + 1, NC - 1)
+                hi = jnp.sum(jnp.where(chunks == hi_c[:, :, None], view, 0),
+                             axis=1)
+                return jnp.concatenate([lo, hi], axis=1), c << 7
+
+            cache, cbase = jax.lax.cond(
+                new_group, refresh, lambda _: (cache, cbase), 0)
+            word = jnp.sum(
+                jnp.where(lanes2 == lane - cbase, cache, 0),
+                axis=1, keepdims=True)
+            p = (word >> (2 * ((d - 2) & 3))) & 3
+            p = jnp.where(i == 0, OP_I, jnp.where(j == 0, OP_D, p))
+            alive = (i > 0) | (j > 0)
+            at_d = alive & (i + j == d)
+            code = jnp.where(at_d, p, 3)
+            di = jnp.where((p == OP_M) | (p == OP_D), 1, 0)
+            dj = jnp.where((p == OP_M) | (p == OP_I), 1, 0)
+            i = jnp.where(at_d, i - di, i)
+            j = jnp.where(at_d, j - dj, j)
+
+            code_row = jnp.swapaxes(code, 0, 1).astype(jnp.int32)  # (1, b)
+            sub = t & 3
+            sh = 2 * sub
+            # Group slots not yet written must read as 3 (skip), so a
+            # final partial byte decodes cleanly: start each group at 0xFF
+            # and CLEAR-then-set the slot.
+            acc = jnp.where(sub == 0, jnp.int32(0xFF), acc)
+            acc = (acc & ~(3 << sh)) | (code_row << sh)
+
+            # Finished byte -> its row of the carried output chunk (a fori
+            # VALUE: dynamic-sublane scratch stores are not lowerable).
+            done_byte = (sub == 3) | (t == D_hi - 1)
+            obuf = jnp.where(done_byte & (rows_ch == (t >> 2) % CH4),
+                             acc, obuf)
+
+            @pl.when((((t >> 2) % CH4 == CH4 - 1) & (sub == 3))
+                     | (t == D_hi - 1))
+            def _():
+                base = pl.multiple_of((t >> 2) - ((t >> 2) % CH4), CH4)
+                obuf_s[...] = obuf.astype(jnp.uint8)
+                cp = pltpu.make_async_copy(
+                    obuf_s, out_ref.at[pl.ds(base, CH4)], out_sem)
+                cp.start()
+                cp.wait()
+
+            return i, j, acc, obuf, cur_slab, cache, cbase
+
+        jax.lax.fori_loop(
+            0, D_hi, step,
+            (i0, j0, jnp.zeros((1, b_pad), jnp.int32),
+             jnp.zeros((CH4, b_pad), jnp.int32), jnp.int32(s_top + 1),
+             cache0, cbase0))
+
+    par_p = parents
+    if S4p != S4 or b_pad != B:
+        par_p = jnp.zeros((S4p, b_pad, W), jnp.uint8).at[:S4, :B].set(
+            parents)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((D4p, b_pad), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, b_pad, W), jnp.uint8),
+            pltpu.VMEM((CH4, b_pad), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(par_p, gi, gj)
+    return out[:D4, :B]
+
+
 @jax.jit
 def pack_codes(codes: jax.Array) -> jax.Array:
     """Pack (S, B) op codes 4-per-byte for the device->host fetch.

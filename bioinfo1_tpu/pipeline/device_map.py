@@ -572,9 +572,17 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                            match, mismatch, gap, band, strict=True,
                            lane_multiple=lane_mult, mode=mode)
     walk_band = -(-band // lane_mult) * lane_mult
-    codes = tr.pack_codes(tr.walk_parents(
-        out.parents, out.goal_i, out.goal_j, out.score,
-        q_win, t_win, match, mismatch, gap, mode=mode, band=walk_band))
+    if use_pallas and mode != 1:
+        # Streaming per-diagonal Pallas walk (global/semiGlobal): parent
+        # rows ride descending DMA slabs instead of a serial chain of
+        # one-byte HBM gathers (~3x; ops/trace.walk_parents_pallas).  The
+        # local walk tracks per-step byte costs and keeps the XLA path.
+        codes = tr.walk_parents_pallas(out.parents, out.goal_i, out.goal_j,
+                                       band=walk_band)
+    else:
+        codes = tr.pack_codes(tr.walk_parents(
+            out.parents, out.goal_i, out.goal_j, out.score,
+            q_win, t_win, match, mismatch, gap, mode=mode, band=walk_band))
     base = MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,

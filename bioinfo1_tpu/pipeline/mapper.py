@@ -739,16 +739,109 @@ class Mapper:
         max_band = max(128, (cap // 2 // 128) * 128)
         self._band_by_key[(cap, False)] = min(new, max_band)
 
+    def _realign_bucket(self, seqs: Sequence[str], hints: dict,
+                        ) -> Tuple[List[ReadMapping], List[int]]:
+        """Cert-missed outliers: re-run ONLY the banded-parents alignment
+        and walk at the band each read's own fused score (an exact lower
+        bound) proves certifiable, reusing the exact chain coordinates from
+        the failed pass - the front half (minimize/match/chain) is
+        deterministic, so its outputs transfer.  One light dispatch covers
+        ALL missed reads across length buckets; the previous full fused
+        rerun paid the whole front half plus one ~60 ms tunnel round trip
+        PER bucket (the captured r04 -c indel ratio's largest avoidable
+        cost).  Returns (results, host_retry_locs)."""
+        cfg = self.cfg
+        mode = al.MODE_BY_NAME[cfg.align_type]
+        qs, ts = [], []
+        for i in range(len(seqs)):
+            _, qb, qe, tb, te, fwd, _ = hints[i]
+            q = seqs[i][qb: qe + 1]
+            q += "\0" * (qe - qb + 1 - len(q))
+            src = self.index.ref_fwd_seq if fwd else self.index.ref_rev_seq
+            t = src[tb: te + 1]
+            t += "\0" * (te - tb + 1 - len(t))
+            qs.append(q)
+            ts.append(t)
+        qa, ql = _pack_reads(qs, 1)
+        ta, tl = _pack_reads(ts, 1)
+        w_whole = max(qa.shape[1], ta.shape[1] + 2)
+        W = min(_pow2_at_least(max(max(h[0] for h in hints.values()), 256),
+                               256), -(-w_whole // 128) * 128)
+        use_pallas = jax.default_backend() == "tpu"
+        dash_free = bool(self._ref_dash_free and not (qa == 45).any()
+                         and not (ta == 45).any())
+        from bioinfo1_tpu.ops import pallas_band as pb
+        from bioinfo1_tpu.ops import trace as tr
+        import jax.numpy as jnp
+        m_, n_, g_ = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
+                      jnp.int32(cfg.gap))
+        if use_pallas:
+            bt = 128
+            while bt > 8 and bt * W * 48 > 12e6:
+                bt //= 2
+            out = pb.align_scores_banded(
+                qa, ql, ta, tl, m_, n_, g_, band=W, block=bt,
+                want_parents=True, mode=mode, dash_free=dash_free)
+            lm = 128
+        else:
+            out = al.align_banded_parents(qa, ql, ta, tl, cfg.match,
+                                          cfg.mismatch, cfg.gap, band=W,
+                                          mode=mode)
+            lm = 16
+        cert_d = pb.certify(
+            out.score, qa, ql, ta, tl, np.int32(cfg.match),
+            np.int32(cfg.mismatch), np.int32(cfg.gap), W, strict=True,
+            lane_multiple=lm, mode=mode)
+        walk_band = -(-W // lm) * lm
+        if use_pallas and mode != 1:
+            packed_d = tr.walk_parents_pallas(
+                out.parents, out.goal_i, out.goal_j, band=walk_band)
+        else:
+            packed_d = tr.pack_codes(tr.walk_parents(
+                out.parents, out.goal_i, out.goal_j, out.score,
+                qa, ta, cfg.match, cfg.mismatch, cfg.gap, mode=mode,
+                band=walk_band))
+        # One combined fetch: each device_get pays ~30 ms of tunnel
+        # latency, and this pass exists to shave round trips.
+        cert, packed, scores, goal_i, goal_j = jax.device_get(
+            (cert_d, packed_d, out.score, out.goal_i, out.goal_j))
+        n_reads = len(seqs)
+        with self._counters_lock:
+            self.counters.cert_total += n_reads
+            self.counters.cert_hits += int(cert[:n_reads].sum())
+            self.counters.batches += 1
+        sel = [i for i in range(n_reads) if cert[i]]
+        cig_by_i: dict = {}
+        if sel:
+            cigs, tbs = _decode_cigars(
+                packed, sel, goal_i, goal_j,
+                [len(q) for q in qs], [len(t) for t in ts], cfg)
+            cig_by_i = dict(zip(sel, zip(cigs, tbs)))
+        results: List[ReadMapping] = []
+        host_retry: List[int] = []
+        for i in range(n_reads):
+            _, qb, qe, tb, te, fwd, _ = hints[i]
+            if not cert[i]:             # safety net: stage through host
+                results.append(ReadMapping(mapped=False))
+                host_retry.append(i)
+                continue
+            cigar, target_begin = cig_by_i[i]
+            results.append(ReadMapping(
+                mapped=True, is_fwd=bool(fwd), q_begin=qb, q_end=qe,
+                t_begin=tb, t_end=te, score=int(scores[i]),
+                cigar=cigar, target_begin=target_begin))
+        return results, host_retry
+
     def _map_bucket_fused(
-            self, seqs: Sequence[str], budget: int, band_override: int = 0
+            self, seqs: Sequence[str], budget: int
     ) -> Tuple[List[ReadMapping], List[int], List[int], dict]:
         """Fused device bucket.  Returns (results, budget_retry, host_retry,
         host_hint): budget_retry reads overflowed (retry fused, doubled
         budget); host_retry reads failed the banded-traceback certificate
-        even at the ladder's widest band (re-route through the banded host
-        path); host_hint maps each such read to the band its FUSED score (a
-        valid lower bound) proves certifiable, so the host pass starts
-        there instead of re-laddering from scratch."""
+        even at the ladder's widest band (re-route through the realign
+        pass); host_hint maps each such read to (certifying band, exact
+        chain coordinates, score) from this pass - _realign_bucket re-runs
+        only the alignment at that band instead of the whole fused step."""
         import jax.numpy as jnp
         from bioinfo1_tpu.pipeline import device_map as dm
         from bioinfo1_tpu.ops.align import MODE_BY_NAME
@@ -795,39 +888,30 @@ class Mapper:
 
         cig = None
         if cfg.output_cigar:
-            # Band ladder (VERDICT r02 items 1-2): certificate misses rerun
-            # the fused step at a doubled band instead of falling back to the
-            # full-matrix host path - on ONT-like indel reads the optimal
-            # path drifts off-diagonal and a fixed band of 256 misses often.
             max_band = self._max_fused_band(cap, arr.shape[0])
             # A band persisted under a SMALLER batch can exceed this batch's
             # parent-stream HBM ceiling; clamp instead of relying on the OOM
             # retry ladder to recover (ADVICE r03).
             band = min(self._bucket_band(cap, True), max_band)
-            if band_override:
-                # Cert-missed outlier rerun: start straight at the band the
-                # read's own (lower-bound) score proves certifiable, pow-2
-                # rounded to bound jit keys.  Small cohorts -> max_band is
-                # generous.
-                band = min(_pow2_at_least(max(band_override, 256), 256),
-                           max_band)
-            while True:
-                cig = run(band)
-                out = cig.base
-                n_real = len(seqs)
-                miss = out.mapped[:n_real] & ~cig.certified[:n_real]
-                if miss.any() and band * 2 <= max_band:
-                    band = band * 2
-                    with self._counters_lock:
-                        self.counters.band_retries += int(miss.sum())
-                    continue
-                break
-            # Persist a 99th-percentile band for FUTURE batches: the ladder
-            # may have widened for one outlier read, and pinning the bucket
-            # at that width would inflate every later batch's parent
-            # stream; outlier batches rerun the ladder instead.
+            # ONE pass (r05; the r02-r04 in-batch doubling ladder re-ran the
+            # whole fused step - front half included - for every miss).
+            # Certificate misses go to the batched realign-only pass
+            # instead: the banded score here is an exact lower bound, so
+            # the band it proves (_needed_band_arr) always certifies there,
+            # and the band persistence below still converges the bucket so
+            # steady-state misses stay ~1%.
+            cig = run(band)
+            out = cig.base
+            n_real = len(seqs)
+            # Persist the band for FUTURE batches: the observed max needed
+            # band, capped at 2x the 99th percentile - a miss costs a whole
+            # realign round trip (~100 ms of tunnel latency), so the band
+            # should cover every read the workload actually produces, but
+            # one chimera-like outlier (needed band ~ whole matrix) must
+            # not pin every later batch's parent stream wide; such
+            # outliers pay the realign pass instead.
             ok = out.mapped[:n_real] & cig.certified[:n_real]
-            if ok.any() and not band_override:
+            if ok.any():
                 need = _needed_band_arr(
                     cig.q_len[:n_real], cig.t_len[:n_real],
                     out.score[:n_real], cfg.match, cfg.mismatch, cfg.gap,
@@ -835,8 +919,11 @@ class Mapper:
                 if need is None:
                     persist = band
                 else:
-                    w99 = float(np.percentile(need[ok], 99))
-                    persist = -(-int(max(w99, 256)) // 128) * 128
+                    mapped_need = need[out.mapped[:n_real]]
+                    w99 = float(np.percentile(mapped_need, 99))
+                    w100 = float(mapped_need.max())
+                    persist = -(-int(max(min(w100, 2 * w99), 256))
+                                // 128) * 128
                 self._band_by_key[(cap, True)] = min(max(persist, 256),
                                                      max_band)
         else:
@@ -882,7 +969,10 @@ class Mapper:
                     np.int64(out.score[i]), cfg.match, cfg.mismatch,
                     cfg.gap, mode, strict=True)
                 if need is not None:
-                    host_hint[i] = int(need)
+                    host_hint[i] = (int(need), int(out.q_begin[i]),
+                                    int(out.q_end[i]), int(out.t_begin[i]),
+                                    int(out.t_end[i]), bool(out.is_fwd[i]),
+                                    int(out.score[i]))
             else:
                 cigar, target_begin = cig_by_i.get(i, (None, None))
                 results.append(ReadMapping(
@@ -913,20 +1003,27 @@ class Mapper:
             if attempts >= 2:
                 fused = False
             attempts += 1
+            # Cert-missed reads with a proven certifying band take the
+            # realign-only pass (_realign_bucket): it handles mixed lengths,
+            # so ONE dispatch covers every missed read regardless of its
+            # length bucket (one tunnel round trip instead of one per
+            # bucket).
+            band_all = [i for i in pending
+                        if i in band_hint and i not in force_host]
+            band_members = set(band_all)
+            rest = [i for i in pending if i not in band_members]
             buckets = _bucket_indices(
-                [len(seqs[i]) for i in pending], cfg.bucket_growth,
+                [len(seqs[i]) for i in rest], cfg.bucket_growth,
                 cfg.k + cfg.w - 1)
             next_pending: List[int] = []
-            for bucket in buckets:
-                idxs = [pending[j] for j in bucket]
-                # Three routes: "band" = cert-missed reads whose own scores
-                # proved a certifying band (rerun FUSED at that band - one
-                # jit round trip, vs the host path's ~10 serial device
-                # fetches at ~50 ms tunnel latency each); "fused" = the
-                # normal path (plus OOM reruns); "host" = staged pipeline
-                # for faults, hint-less cert misses and bug-compat.
-                band_set = {i for i in idxs
-                            if i in band_hint and i not in force_host}
+            grouped = ([(band_all, "band")] if band_all else [])
+            grouped += [([rest[j] for j in bucket], None)
+                        for bucket in buckets]
+            for idxs, forced_kind in grouped:
+                # Routes: "band" above; "fused" = the normal path (plus
+                # OOM reruns); "host" = staged pipeline for faults,
+                # hint-less cert misses and bug-compat.
+                band_set = set(idxs) if forced_kind == "band" else set()
                 fused_set = {i for i in idxs
                              if (fused or i in oom_retry)
                              and i not in force_host and i not in band_set}
@@ -983,19 +1080,20 @@ class Mapper:
                     import time as _time
                     t_call = _time.perf_counter()
                     try:
-                        if on_device:
-                            override = 0
-                            if kind == "band":
-                                override = max(band_hint[i]
-                                               for i in sub_idxs)
+                        if kind == "band":
+                            res, host_retry = self._realign_bucket(
+                                sub, {loc: band_hint[i]
+                                      for loc, i in enumerate(sub_idxs)})
+                            retry = []
+                            hints = {}
+                        elif on_device:
                             res, retry, host_retry, hints = \
-                                self._map_bucket_fused(
-                                    sub, b_budget, band_override=override)
+                                self._map_bucket_fused(sub, b_budget)
                         else:
                             res, retry = _map_bucket(
                                 sub, self.index, cfg, b_budget,
                                 band_hint=max(
-                                    (band_hint.get(i, 0)
+                                    (band_hint.get(i, (0,))[0]
                                      for i in sub_idxs), default=0))
                             host_retry = []
                             hints = {}
@@ -1133,15 +1231,18 @@ class Mapper:
         results: dict = {}              # idx -> [lines]
         emitted = start_at
         n_queued = 0
-        # Two-deep pipeline (VERDICT r02 item 2): map_batch calls run on TWO
-        # worker threads, so while batch k's results cross the (high-latency
-        # ~30 ms/way) device link, batch k+1's upload and device execution
-        # proceed - profiling showed the product path is transfer-LATENCY
-        # bound, not host-work bound, so overlapping the device round-trips
-        # themselves is what closes the gap.  Device execution still
-        # serializes on the chip's queue; per-read results are keyed by
-        # input index, so completion order cannot affect output order.
-        DEPTH = 2
+        # Pipelined map_batch calls on worker threads, so while batch k's
+        # results cross the (high-latency ~30 ms/way, ~45 MB/s) device
+        # link, batch k+1's upload and device execution proceed - the
+        # product path is transfer-bound, not host-work bound, and under
+        # -c the packed-codes fetch (~2 MB per 8 kb batch) is the largest
+        # single transfer, so THREE slots keep the device busy while two
+        # transfers drain.  Device execution still serializes on the
+        # chip's queue; per-read results are keyed by input index, so
+        # completion order cannot affect output order.  The inflight-bytes
+        # valve below still serializes batches whose parent streams would
+        # overflow HBM together.
+        DEPTH = 3
         # HBM pressure bound: the TPU holds the replicated index (~4.4 GB
         # for E. coli at the direct-address directory) plus every in-flight
         # batch's transient workspaces; unbounded concurrency OOMs on big
@@ -1157,9 +1258,9 @@ class Mapper:
             bpad = _pow2_at_least(n_entries, 8)
             cost = bpad * cap * 512
             if cfg.output_cigar:
-                # Kernel-packed parent stream: ~3*cap/4 byte rows x W lanes
-                # per read (ops/pallas_band.py), plus walk workspace.
-                cost += cap * bpad * self._bucket_band(cap, True)
+                # Kernel-packed parent stream: (2*cap + W)/4 byte rows x W
+                # lanes per read (ops/pallas_band.py), plus walk workspace.
+                cost += cap * bpad * self._bucket_band(cap, True) * 3 // 4
             return cost
 
         executor = ThreadPoolExecutor(max_workers=DEPTH)

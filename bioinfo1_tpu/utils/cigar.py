@@ -63,12 +63,16 @@ def cigar_from_codes(codes: np.ndarray, mode: str, goal_i: int, goal_j: int,
                      ) -> Tuple[str, Optional[int]]:
     """Decode one read's device-walk op codes (ops/trace.py) into a CIGAR.
 
-    ``codes`` is (steps,) uint8 in goal->origin order, 255-padded after the
-    walk ends.  Run-length encoding is vectorized numpy - the host does no
-    per-base Python loop (the device walk replaced it).
+    ``codes`` is (steps,) uint8 in goal->origin order.  255 entries are
+    SKIPPED, not terminal: the lockstep XLA walk (ops/trace.walk_parents)
+    emits them only as trailing padding, while the Pallas per-diagonal walk
+    (walk_parents_pallas) interleaves them mid-stream (a match step jumps
+    two diagonals, and reads idle until the sweep reaches their goal
+    diagonal) - both decode identically under skip semantics.  Run-length
+    encoding is vectorized numpy - the host does no per-base Python loop
+    (the device walk replaced it).
     """
-    end = np.argmax(codes == 255) if (codes == 255).any() else len(codes)
-    ops = codes[:end][::-1]                       # origin -> goal order
+    ops = codes[codes != 255][::-1]               # origin -> goal order
     if mode == "local":
         consumed_j = int(np.count_nonzero(ops != 2))   # M or I move j
         target_begin = (goal_j + 1 if local_target_begin_end

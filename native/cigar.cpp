@@ -68,17 +68,21 @@ int64_t bioinfo1_cigar_rle(
     std::vector<std::string> rows((size_t)n);
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t r = 0; r < n; ++r) {
-        // Unpack this read's codes (goal->origin) until the first `done`.
+        // Unpack this read's codes (goal->origin order).  Code 3 entries
+        // are SKIPPED, not terminal: the lockstep XLA walk only pads the
+        // tail with them, but the Pallas per-diagonal walk interleaves
+        // them mid-stream (match steps jump two diagonals; reads idle
+        // until the sweep reaches their goal diagonal).  All-3 bytes are
+        // rejected wholesale so the dense skip regions cost one compare.
         std::vector<uint8_t> ops;
         ops.reserve((size_t)(4 * s4));
         const uint8_t* rowp = packed + (int64_t)col[r] * s4;
-        bool done = false;
-        for (int64_t s = 0; s < s4 && !done; ++s) {
+        for (int64_t s = 0; s < s4; ++s) {
             uint8_t byte = rowp[s];
+            if (byte == 0xFF) continue;
             for (int k = 0; k < 4; ++k) {
                 uint8_t op = (byte >> (2 * k)) & 3;
-                if (op == 3) { done = true; break; }
-                ops.push_back(op);
+                if (op != 3) ops.push_back(op);
             }
         }
         int64_t consumed_j = 0;

@@ -267,3 +267,39 @@ def test_crash_mid_run_resume_identical(tmp_path):
                         cwd=repo).returncode
     assert rc == 0
     assert part.read_text() == want, f"killed={killed}"
+
+
+def test_cert_miss_realign_parity():
+    """Reads with a large structural indel drift past the default band, so
+    the first fused -c pass misses the strict certificate and the
+    realign-only pass (mapper._realign_bucket, r05) re-aligns them at the
+    proven band reusing the failed pass's chain coordinates.  Output must
+    match the reference model exactly, and the realign path must actually
+    run (host_fallbacks > 0)."""
+    import numpy as np
+    from bioinfo1_tpu import reference_model as rm
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"CATG", np.uint8)
+    genome = bases[rng.integers(0, 4, 60000)]
+    gstr = genome.tobytes().decode("latin1")
+    records = []
+    for i in range(6):
+        start = int(rng.integers(0, len(genome) - 2000))
+        r = list(genome[start:start + 1500])
+        # 600 bp deletion mid-read: the optimal path drifts ~600 off the
+        # main diagonal, past the default 256 starting band.
+        del r[700:1300]
+        records.append((f"sv{i}", bytes(r).decode("latin1")))
+        records.append((f"pt{i}",
+                        genome[start:start + 1200].tobytes()
+                        .decode("latin1")))
+    cfg = MapperConfig(output_cigar=True)
+    mapper = Mapper([("ref", gstr)], cfg)
+    got = mapper.map_records(records)
+    want = rm.map_all([("ref", gstr)], records,
+                      rm.MapperParams(output_cigar=True))
+    assert got == want
+    assert mapper.counters.host_fallbacks > 0, (
+        "expected cert misses routed through the realign pass")
