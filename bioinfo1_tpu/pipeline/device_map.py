@@ -78,7 +78,10 @@ class MapOut:
 
     mapped: bool; is_fwd: bool; q_begin/q_end/t_begin/t_end: 0-based
     inclusive region bounds (strand coordinates); score: DP score;
-    overflow: match budget exceeded (host must retry bigger).
+    overflow: match budget exceeded (host must retry bigger); need: the
+    EXACT per-read match-list length (max over strands, pre-truncation) -
+    overflowed reads retry at a budget covering it in ONE hop instead of
+    doubling blindly.
     """
 
     mapped: jax.Array
@@ -89,6 +92,7 @@ class MapOut:
     t_end: jax.Array
     score: jax.Array
     overflow: jax.Array
+    need: jax.Array
 
 
 def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
@@ -405,6 +409,7 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
     use_fwd = cf.length >= cr.length          # ties forward (quirk #8)
     mapped = jnp.where(use_fwd, cf.length, cr.length) > 0
     overflow = got_f.overflow | got_r.overflow | q_over
+    need = jnp.maximum(got_f.total, got_r.total)
 
     q_begin = jnp.where(use_fwd, cf.q_start, cr.q_start) - 1
     q_end = jnp.where(use_fwd, cf.q_end, cr.q_end) + k - 2
@@ -430,7 +435,7 @@ def _map_core(reads, lens, index, *, k, w, budget, region_cap,
     t_win = _extract_flat_windows(ref_flat, t_base, region_cap)
 
     return (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
-            q_win, t_win, q_len, t_len)
+            q_win, t_win, q_len, t_len, need)
 
 
 @functools.partial(jax.jit,
@@ -464,7 +469,7 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     if region_cap == 0:
         region_cap = reads.shape[1]
     (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
-     q_win, t_win, q_len, t_len) = _map_core(
+     q_win, t_win, q_len, t_len, need) = _map_core(
         reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
         use_pallas=use_pallas, oob_end_windows=oob_end_windows,
         shard_axis=shard_axis)
@@ -495,7 +500,7 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     return MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
-                  score=score, overflow=overflow)
+                  score=score, overflow=overflow, need=need)
 
 
 @jax.tree_util.register_dataclass
@@ -550,7 +555,7 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     if region_cap == 0:
         region_cap = reads.shape[1]
     (mapped, use_fwd, q_begin, q_end, t_begin, t_end, overflow,
-     q_win, t_win, q_len, t_len) = _map_core(
+     q_win, t_win, q_len, t_len, need) = _map_core(
         reads, lens, index, k=k, w=w, budget=budget, region_cap=region_cap,
         use_pallas=use_pallas, oob_end_windows=oob_end_windows,
         shard_axis=shard_axis)
@@ -586,7 +591,7 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     base = MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
-                  score=out.score, overflow=overflow)
+                  score=out.score, overflow=overflow, need=need)
     return CigarOut(base=base, codes=codes,
                     goal_i=out.goal_i, goal_j=out.goal_j,
                     q_len=q_len, t_len=t_len, certified=certified)

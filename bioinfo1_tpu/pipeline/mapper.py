@@ -492,6 +492,7 @@ class Mapper:
         # non-base bytes to themselves, but check rather than assume.
         self._ref_dash_free = ("-" not in self.index.ref_fwd_seq
                                and "-" not in self.index.ref_rev_seq)
+        self._dash_free_sticky = True
         self.counters = MapperCounters()
         self._counters_lock = threading.Lock()   # map_batch runs on worker
         self._band_by_key: dict = {}     # (cap, for_cigar) -> band
@@ -768,8 +769,8 @@ class Mapper:
         W = min(_pow2_at_least(max(max(h[0] for h in hints.values()), 256),
                                256), -(-w_whole // 128) * 128)
         use_pallas = jax.default_backend() == "tpu"
-        dash_free = bool(self._ref_dash_free and not (qa == 45).any()
-                         and not (ta == 45).any())
+        dash_free = bool(self._dash_free_sticky and self._ref_dash_free
+                         and not (qa == 45).any() and not (ta == 45).any())
         from bioinfo1_tpu.ops import pallas_band as pb
         from bioinfo1_tpu.ops import trace as tr
         import jax.numpy as jnp
@@ -861,7 +862,15 @@ class Mapper:
         # Per-batch read scan (numpy, one pass over B*L bytes) + the init-time
         # genome scan: when neither side can contain '-', the banded kernel
         # drops the free-gap compares/selects (ops/pallas_band.py dash_free).
-        dash_free = bool(self._ref_dash_free and not (arr == 45).any())
+        # Sticky-false (ADVICE r04): a stream alternating dash-containing
+        # and dash-free batches would otherwise compile and cache TWO
+        # variants of every step; real dash inputs are rare and
+        # pathological, so the first dash pins the general kernel for the
+        # Mapper's lifetime (bounded 1-variant cache either way).
+        dash_free = bool(self._dash_free_sticky and self._ref_dash_free
+                         and not (arr == 45).any())
+        if not dash_free:
+            self._dash_free_sticky = False
 
         def run(band):
             if cfg.output_cigar:
@@ -910,8 +919,10 @@ class Mapper:
             # one chimera-like outlier (needed band ~ whole matrix) must
             # not pin every later batch's parent stream wide; such
             # outliers pay the realign pass instead.
-            ok = out.mapped[:n_real] & cig.certified[:n_real]
-            if ok.any():
+            # Gate on MAPPED (not certified): a bucket whose only reads
+            # miss the certificate must still learn a wider band, or every
+            # future batch re-pays the realign round trip.
+            if out.mapped[:n_real].any():
                 need = _needed_band_arr(
                     cig.q_len[:n_real], cig.t_len[:n_real],
                     out.score[:n_real], cfg.match, cfg.mismatch, cfg.gap,
@@ -932,6 +943,7 @@ class Mapper:
             self._adapt_band_score(cap, out, len(seqs))
         results: List[ReadMapping] = []
         retry: List[int] = []
+        retry_need: dict = {}
         host_retry: List[int] = []
         host_hint: dict = {}
         cig_by_i: dict = {}
@@ -959,6 +971,7 @@ class Mapper:
             if out.overflow[i]:
                 results.append(ReadMapping(mapped=False))
                 retry.append(i)
+                retry_need[i] = int(out.need[i])
             elif not out.mapped[i]:
                 results.append(ReadMapping(mapped=False))
             elif cig is not None and not cig.certified[i]:
@@ -981,7 +994,7 @@ class Mapper:
                     t_begin=int(out.t_begin[i]), t_end=int(out.t_end[i]),
                     score=int(out.score[i]), cigar=cigar,
                     target_begin=target_begin))
-        return results, retry, host_retry, host_hint
+        return results, retry, host_retry, host_hint, retry_need
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
         cfg = self.cfg
@@ -1080,6 +1093,7 @@ class Mapper:
                     import time as _time
                     t_call = _time.perf_counter()
                     try:
+                        need = {}
                         if kind == "band":
                             res, host_retry = self._realign_bucket(
                                 sub, {loc: band_hint[i]
@@ -1087,7 +1101,7 @@ class Mapper:
                             retry = []
                             hints = {}
                         elif on_device:
-                            res, retry, host_retry, hints = \
+                            res, retry, host_retry, hints, need = \
                                 self._map_bucket_fused(sub, b_budget)
                         else:
                             res, retry = _map_bucket(
@@ -1120,11 +1134,25 @@ class Mapper:
                         continue
                     retry_s, host_s = set(retry), set(host_retry)
                     # >2% of a batch overflowing marks the bucket as
-                    # repeat-dense: widen its future starting budget (cap
-                    # at 8x; per-read `mult` handles true outliers).
+                    # repeat-dense: widen its future starting budget to
+                    # cover the EXACT observed need (MapOut.need carries
+                    # the pre-truncation match totals) - one observation
+                    # converges the bucket, where the old fixed-8x-capped
+                    # doubling forced per-read retry batches on every pass
+                    # of a ~30-copy repeat genome (VERDICT r04 item 10).
+                    # The absolute cap keeps the boosted budget within the
+                    # chain kernel's packed-index range and HBM.
+                    base = max(_pow2_at_least(budget, 8),
+                               -(-3 * cap // (8 * 128)) * 128)
                     if len(retry_s) > max(2, len(sub_idxs) // 50):
-                        self._budget_boost[cap] = min(
-                            self._budget_boost.get(cap, 1) * 2, 8)
+                        need_max = max((need.get(loc, 0)
+                                        for loc in retry_s), default=0)
+                        boost = max(self._budget_boost.get(cap, 1) * 2,
+                                    _pow2_at_least(
+                                        -(-21 * need_max // (20 * base))))
+                        while boost > 1 and base * boost > 32768:
+                            boost //= 2
+                        self._budget_boost[cap] = boost
                     dt_call = _time.perf_counter() - t_call
                     with self._counters_lock:
                         if on_device:
@@ -1136,7 +1164,14 @@ class Mapper:
                         self.counters.host_fallbacks += len(host_s)
                     for loc, i in enumerate(sub_idxs):
                         if loc in retry_s:
-                            mult[i] = mult.get(i, 1) * 2
+                            # Jump straight to a multiplier covering the
+                            # exact observed need (with 5% slack); plain
+                            # doubling remains the floor so compact-stage
+                            # overflows (need underestimates them) still
+                            # make progress.
+                            jump = _pow2_at_least(
+                                -(-21 * need.get(loc, 0) // (20 * base)))
+                            mult[i] = max(mult.get(i, 1) * 2, jump)
                             next_pending.append(i)
                         elif loc in host_s:
                             # First miss with a provable band -> fused

@@ -216,8 +216,9 @@ def test_poisoned_batch_fault_isolation(problem, capsys):
 
 def test_band_ladder_grows_on_big_indel(problem):
     """A 300 bp deletion drifts the goal cell past the initial 256 band:
-    the fused -c ladder must rerun at a wider band (band_retries > 0) and
-    still match the executable spec byte-for-byte."""
+    the first fused -c pass misses the certificate, the read re-aligns
+    through the realign-only pass (host_fallbacks counts the miss), and
+    the output still matches the executable spec byte-for-byte."""
     from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
     genome, index, didx, reads, arr, lens = problem
     big_del = genome[2000:2800] + genome[3100:3800]   # 1500 q vs 1800 t
@@ -226,11 +227,10 @@ def test_band_ladder_grows_on_big_indel(problem):
     cfg = MapperConfig(k=K, w=W, f=F, output_cigar=True)
     m = Mapper([("ref", genome)], cfg)
     lines = m.map_records(records)
-    assert m.counters.band_retries > 0, m.counters.as_dict()
-    assert m.counters.host_fallbacks == 0
-    # The ladder ran wider for this batch; the PERSISTED band is p99-based
-    # (an outlier must not pin the bucket at the ladder's peak forever) but
-    # still reflects the indel drift: wider than the 256 default.
+    assert m.counters.host_fallbacks > 0, m.counters.as_dict()
+    # The outlier's needed band folds into the persisted value (capped at
+    # 2x p99); it must still reflect the indel drift: wider than the 256
+    # default.
     assert max(b for (_, fc), b in m._band_by_key.items() if fc) > 256
     spec = rm.map_all([("ref", genome)], records,
                       rm.MapperParams(k=K, w=W, f=F, output_cigar=True))

@@ -275,3 +275,22 @@ def test_large_mixed_parity(tmp_path, oracle_bin):
     _write_fasta(reads_path, reads)
     _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
     _compare(oracle_bin, ["-a", "semiGlobal"], ref_path, reads_path)
+
+
+def test_longread_20k_parity(tmp_path, oracle_bin):
+    """>= 20 kb ONT-like reads (VERDICT r04 item 4: the report's worked
+    oracle read is 11,265 bp and MAP006 2D reads reach tens of kb): the
+    bucket ladder, VMEM-guarded band kernel and -c walk must hold at these
+    lengths with byte-identical output."""
+    import numpy as np
+    from bioinfo1_tpu.utils import simulate as sim
+    rng = np.random.default_rng(357)
+    genome = sim.random_genome(120000, rng)
+    ref_path = str(tmp_path / "ref.fasta")
+    _write_fasta(ref_path, [("refseq", genome.tobytes().decode("latin1"))])
+    reads = sim.simulate_reads(genome, [21000, 24000], rng,
+                               sub_rate=0.03, ins_rate=0.015,
+                               del_rate=0.015)
+    reads_path = str(tmp_path / "reads.fasta")
+    _write_fasta(reads_path, reads)
+    _compare(oracle_bin, ["-a", "global", "-c"], ref_path, reads_path)
