@@ -1081,8 +1081,15 @@ class Mapper:
                     # halved repeat-genome throughput via retry batches).
                     b_budget = max(_pow2_at_least(budget, 8),
                                    -(-3 * cap // (8 * 128)) * 128)
-                    b_budget *= self._budget_boost.get(cap, 1)
-                    b_budget *= max(mult.get(i, 1) for i in sub_idxs)
+                    # Bucket boost and per-read retry multipliers BOTH
+                    # target absolute budgets that cover an observed need,
+                    # so combine with max, not product: multiplying them
+                    # squared the budget (boost 8 x mult 8 = 64x) the one
+                    # time both were live, and the chain DP at that width
+                    # ran ~1000x slow (r05 regression; the whole-suite CPU
+                    # hang and the TPU worker crash traced here).
+                    b_budget *= max(self._budget_boost.get(cap, 1),
+                                    max(mult.get(i, 1) for i in sub_idxs))
                     # Per-batch fault isolation (VERDICT r02 item 8; the
                     # reference's analog catches a per-read Align throw,
                     # logs, and continues - team_mapper.cpp:663-683).  An
@@ -1149,7 +1156,7 @@ class Mapper:
                                         for loc in retry_s), default=0)
                         boost = max(self._budget_boost.get(cap, 1) * 2,
                                     _pow2_at_least(
-                                        -(-21 * need_max // (20 * base))))
+                                        -(-21 * need_max // (20 * base)), 1))
                         while boost > 1 and base * boost > 32768:
                             boost //= 2
                         self._budget_boost[cap] = boost
@@ -1170,7 +1177,7 @@ class Mapper:
                             # overflows (need underestimates them) still
                             # make progress.
                             jump = _pow2_at_least(
-                                -(-21 * need.get(loc, 0) // (20 * base)))
+                                -(-21 * need.get(loc, 0) // (20 * base)), 1)
                             mult[i] = max(mult.get(i, 1) * 2, jump)
                             next_pending.append(i)
                         elif loc in host_s:

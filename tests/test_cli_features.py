@@ -355,3 +355,32 @@ def test_pathological_repeat_budget_convergence():
     mapper.counters = type(c)()
     mapper.map_records(records)
     assert mapper.counters.budget_retries == 0
+
+
+def test_budget_jump_no_overshoot():
+    """r05 regression: when the observed need only slightly exceeds the
+    bucket's base budget, the boost ladder and the per-read jump must move
+    to the NEXT power of two (2x), not the _pow2_at_least default floor
+    (8x) - and the two multipliers must combine by max, not product.  The
+    8x8=64x overshoot compiled and ran chain DPs ~64x wider than needed
+    (a CPU suite hang and a TPU worker crash traced to it)."""
+    import numpy as np
+    from bioinfo1_tpu.pipeline.mapper import Mapper, MapperConfig
+
+    rng = np.random.default_rng(23)
+    genome = "".join("CATG"[i] for i in rng.integers(0, 4, 40000))
+    records = []
+    for r in range(16):
+        start = int(rng.integers(0, 38500))
+        records.append((f"r{r}", genome[start:start + 1200]))
+    # k=9/w=3 on 1.2 kb reads: per-read match totals land ~15% above the
+    # 3L/8 base budget, so every read overflows the first pass by a hair.
+    mapper = Mapper([("ref", genome)], MapperConfig(k=9, w=3))
+    lines = mapper.map_records(records)
+    assert len(lines) == len(records)
+    boost = mapper._budget_boost.get(1536, 1)
+    assert boost <= 2, f"boost overshot: {boost} (need was ~1.15x base)"
+    # Second pass at the persisted boost: no retries at all.
+    mapper.counters = type(mapper.counters)()
+    mapper.map_records(records)
+    assert mapper.counters.budget_retries == 0
