@@ -122,7 +122,7 @@ def sharded_map_step(mesh: Mesh, k: int, w: int, mode: int,
         in_specs=(P("data", None), P("data"), ispec, P(), P(), P()),
         out_specs=jax.tree.map(lambda _: P("data"), dm.MapOut(
             mapped=0, is_fwd=0, q_begin=0, q_end=0, t_begin=0, t_end=0,
-            score=0, overflow=0, need=0)),
+            score=0, overflow=0, need=0, inexact=0)),
         check_vma=False)
     return jax.jit(fn)
 
@@ -153,7 +153,7 @@ def sharded_map_step_cigar(mesh: Mesh, k: int, w: int, mode: int,
     out_specs = dm.CigarOut(
         base=jax.tree.map(lambda _: P("data"), dm.MapOut(
             mapped=0, is_fwd=0, q_begin=0, q_end=0, t_begin=0, t_end=0,
-            score=0, overflow=0, need=0)),
+            score=0, overflow=0, need=0, inexact=0)),
         codes=P(None, "data"), goal_i=P("data"), goal_j=P("data"),
         q_len=P("data"), t_len=P("data"), certified=P("data"))
     ispec = index_specs if index_specs is not None else P()

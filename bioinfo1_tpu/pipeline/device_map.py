@@ -81,7 +81,11 @@ class MapOut:
     overflow: match budget exceeded (host must retry bigger); need: the
     EXACT per-read match-list length (max over strands, pre-truncation) -
     overflowed reads retry at a budget covering it in ONE hop instead of
-    doubling blindly.
+    doubling blindly; inexact: the banded score is only a lower bound
+    (certificate miss with the in-jit full-kernel fallback compiled OUT -
+    long-read caps where the full wavefront cannot fit VMEM; the host
+    reruns such reads through the realign pass at the band their own
+    lower-bound score proves certifiable).
     """
 
     mapped: jax.Array
@@ -93,6 +97,7 @@ class MapOut:
     score: jax.Array
     overflow: jax.Array
     need: jax.Array
+    inexact: jax.Array
 
 
 def device_index_from_host(index, pad_to_pow2: bool = True) -> DeviceIndex:
@@ -482,6 +487,18 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         return al.align_batch(q_win, q_len, t_win, t_len, mode,
                               match, mismatch, gap, want_parents=False).score
 
+    # The full wavefront kernel holds q/t bytes plus 3 int32 diagonal rows
+    # per 32-read tile in VMEM; past ~24 kb regions it cannot compile
+    # (scoped-vmem OOM on the 50 kb read class killed every batch: the
+    # cond branch is compiled even when never taken).  For those caps the
+    # fallback is compiled OUT and certificate misses surface as
+    # ``inexact`` - the host reruns them through the realign-only pass at
+    # the band their lower-bound score proves (same recovery as the -c
+    # path's cert misses).
+    n1_pad = -(-(reads.shape[1] + 1) // 128) * 128
+    m_pad = -(-max(region_cap, 128) // 128) * 128
+    full_ok = 32 * (13 * n1_pad + m_pad) <= 12e6
+    inexact = jnp.zeros_like(mapped)
     if band:
         from bioinfo1_tpu.ops import pallas_band as pb
         bout = pb.align_scores_banded(q_win, q_len, t_win, t_len,
@@ -490,17 +507,22 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                                       dash_free=dash_free)
         certified = pb.certify(bout.score, q_win, q_len, t_win, t_len,
                                match, mismatch, gap, band, mode=mode)
-        need_full = jnp.any(mapped & ~certified)
-        full = jax.lax.cond(need_full, full_scores,
-                            lambda: jnp.zeros_like(bout.score))
-        score = jnp.where(certified, bout.score, full)
+        if full_ok:
+            need_full = jnp.any(mapped & ~certified)
+            full = jax.lax.cond(need_full, full_scores,
+                                lambda: jnp.zeros_like(bout.score))
+            score = jnp.where(certified, bout.score, full)
+        else:
+            score = bout.score
+            inexact = mapped & ~certified
     else:
         score = full_scores()
 
     return MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
-                  score=score, overflow=overflow, need=need)
+                  score=score, overflow=overflow, need=need,
+                  inexact=inexact)
 
 
 @jax.tree_util.register_dataclass
@@ -591,7 +613,8 @@ def map_step_cigar(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
     base = MapOut(mapped=mapped & ~overflow, is_fwd=use_fwd,
                   q_begin=q_begin, q_end=q_end,
                   t_begin=t_begin, t_end=t_end,
-                  score=out.score, overflow=overflow, need=need)
+                  score=out.score, overflow=overflow, need=need,
+                  inexact=jnp.zeros_like(mapped))
     return CigarOut(base=base, codes=codes,
                     goal_i=out.goal_i, goal_j=out.goal_j,
                     q_len=q_len, t_len=t_len, certified=certified)

@@ -776,13 +776,18 @@ class Mapper:
         import jax.numpy as jnp
         m_, n_, g_ = (jnp.int32(cfg.match), jnp.int32(cfg.mismatch),
                       jnp.int32(cfg.gap))
+        # Score-only callers (map_step's long-read ``inexact`` route) skip
+        # the parent stream and the walk entirely: certification alone
+        # (non-strict - ties are fine when only the score is emitted)
+        # makes the banded score exact.
+        want_cigar = bool(cfg.output_cigar)
         if use_pallas:
             bt = 128
-            while bt > 8 and bt * W * 48 > 12e6:
+            while bt > 8 and bt * W * (48 if want_cigar else 24) > 12e6:
                 bt //= 2
             out = pb.align_scores_banded(
                 qa, ql, ta, tl, m_, n_, g_, band=W, block=bt,
-                want_parents=True, mode=mode, dash_free=dash_free)
+                want_parents=want_cigar, mode=mode, dash_free=dash_free)
             lm = 128
         else:
             out = al.align_banded_parents(qa, ql, ta, tl, cfg.match,
@@ -791,33 +796,39 @@ class Mapper:
             lm = 16
         cert_d = pb.certify(
             out.score, qa, ql, ta, tl, np.int32(cfg.match),
-            np.int32(cfg.mismatch), np.int32(cfg.gap), W, strict=True,
-            lane_multiple=lm, mode=mode)
+            np.int32(cfg.mismatch), np.int32(cfg.gap), W,
+            strict=want_cigar, lane_multiple=lm, mode=mode)
         walk_band = -(-W // lm) * lm
-        if use_pallas and mode != 1:
-            packed_d = tr.walk_parents_pallas(
-                out.parents, out.goal_i, out.goal_j, band=walk_band)
+        if not want_cigar:
+            cert, scores, goal_i, goal_j = jax.device_get(
+                (cert_d, out.score, out.goal_i, out.goal_j))
+            packed = None
         else:
-            packed_d = tr.pack_codes(tr.walk_parents(
-                out.parents, out.goal_i, out.goal_j, out.score,
-                qa, ta, cfg.match, cfg.mismatch, cfg.gap, mode=mode,
-                band=walk_band))
-        # One combined fetch: each device_get pays ~30 ms of tunnel
-        # latency, and this pass exists to shave round trips.
-        cert, packed, scores, goal_i, goal_j = jax.device_get(
-            (cert_d, packed_d, out.score, out.goal_i, out.goal_j))
+            if use_pallas and mode != 1:
+                packed_d = tr.walk_parents_pallas(
+                    out.parents, out.goal_i, out.goal_j, band=walk_band)
+            else:
+                packed_d = tr.pack_codes(tr.walk_parents(
+                    out.parents, out.goal_i, out.goal_j, out.score,
+                    qa, ta, cfg.match, cfg.mismatch, cfg.gap, mode=mode,
+                    band=walk_band))
+            # One combined fetch: each device_get pays ~30 ms of tunnel
+            # latency, and this pass exists to shave round trips.
+            cert, packed, scores, goal_i, goal_j = jax.device_get(
+                (cert_d, packed_d, out.score, out.goal_i, out.goal_j))
         n_reads = len(seqs)
         with self._counters_lock:
             self.counters.cert_total += n_reads
             self.counters.cert_hits += int(cert[:n_reads].sum())
             self.counters.batches += 1
-        sel = [i for i in range(n_reads) if cert[i]]
         cig_by_i: dict = {}
-        if sel:
-            cigs, tbs = _decode_cigars(
-                packed, sel, goal_i, goal_j,
-                [len(q) for q in qs], [len(t) for t in ts], cfg)
-            cig_by_i = dict(zip(sel, zip(cigs, tbs)))
+        if want_cigar:
+            sel = [i for i in range(n_reads) if cert[i]]
+            if sel:
+                cigs, tbs = _decode_cigars(
+                    packed, sel, goal_i, goal_j,
+                    [len(q) for q in qs], [len(t) for t in ts], cfg)
+                cig_by_i = dict(zip(sel, zip(cigs, tbs)))
         results: List[ReadMapping] = []
         host_retry: List[int] = []
         for i in range(n_reads):
@@ -826,7 +837,7 @@ class Mapper:
                 results.append(ReadMapping(mapped=False))
                 host_retry.append(i)
                 continue
-            cigar, target_begin = cig_by_i[i]
+            cigar, target_begin = cig_by_i.get(i, (None, None))
             results.append(ReadMapping(
                 mapped=True, is_fwd=bool(fwd), q_begin=qb, q_end=qe,
                 t_begin=tb, t_end=te, score=int(scores[i]),
@@ -981,6 +992,25 @@ class Mapper:
                     np.int64(cig.q_len[i]), np.int64(cig.t_len[i]),
                     np.int64(out.score[i]), cfg.match, cfg.mismatch,
                     cfg.gap, mode, strict=True)
+                if need is not None:
+                    host_hint[i] = (int(need), int(out.q_begin[i]),
+                                    int(out.q_end[i]), int(out.t_begin[i]),
+                                    int(out.t_end[i]), bool(out.is_fwd[i]),
+                                    int(out.score[i]))
+            elif cig is None and bool(out.inexact[i]):
+                # Long-read caps compile the full-kernel fallback OUT
+                # (device_map.map_step full_ok): the banded score is a
+                # lower bound; rerun through the realign pass at the band
+                # that bound proves (always certifies there - same
+                # argument as the -c cert-miss route).
+                results.append(ReadMapping(mapped=False))
+                host_retry.append(i)
+                ql_i = min(int(out.q_end[i]) - int(out.q_begin[i]) + 1, cap)
+                tl_i = min(int(out.t_end[i]) - int(out.t_begin[i]) + 1,
+                           region_cap)
+                need = _needed_band_arr(
+                    np.int64(ql_i), np.int64(tl_i), np.int64(out.score[i]),
+                    cfg.match, cfg.mismatch, cfg.gap, mode, strict=False)
                 if need is not None:
                     host_hint[i] = (int(need), int(out.q_begin[i]),
                                     int(out.q_end[i]), int(out.t_begin[i]),
