@@ -273,10 +273,13 @@ def lis_chain(f_pos: jax.Array, r_pos: jax.Array, count: jax.Array,
     if n_pad > _JMASK + 1:
         raise ValueError(f"match budget {N} exceeds packed-index range "
                          f"{_JMASK + 1}")
-    # Tile height under a VMEM budget: f/r/lis/prev (BT, n_pad) int32 plus
-    # chunk temporaries.
+    # Tile height under a VMEM budget: f/r inputs + lis/prev scratch are 4
+    # (BT, n_pad) int32 rows, but Mosaic's scoped stack also holds the
+    # init-phase temporaries (masked f copies, per-chunk min/max builds) -
+    # measured ~10 int32 words per element total (22.7M scoped at BT=32,
+    # n_pad=18432), so budget for that, not just the named buffers.
     BT = 64
-    while BT > 8 and 4 * BT * n_pad * 4 > 10e6:
+    while BT > 8 and 10 * BT * n_pad * 4 > 14e6:
         BT //= 2
     b_pad = _round_up(max(B, BT), BT)
     f = jnp.zeros((b_pad, n_pad), jnp.int32).at[:B, :N].set(

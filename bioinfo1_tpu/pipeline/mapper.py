@@ -1024,6 +1024,11 @@ class Mapper:
                     t_begin=int(out.t_begin[i]), t_end=int(out.t_end[i]),
                     score=int(out.score[i]), cigar=cigar,
                     target_begin=target_begin))
+        # Key -1: the batch-wide exact max need (never collides with the
+        # per-read loc keys) - map_batch uses it to DECAY a persisted
+        # bucket boost that the workload no longer justifies (e.g. stale
+        # cache state), instead of paying the oversized chain DP forever.
+        retry_need[-1] = int(out.need[:len(seqs)].max())
         return results, retry, host_retry, host_hint, retry_need
 
     def map_batch(self, seqs: Sequence[str]) -> List[ReadMapping]:
@@ -1190,6 +1195,16 @@ class Mapper:
                         while boost > 1 and base * boost > 32768:
                             boost //= 2
                         self._budget_boost[cap] = boost
+                    elif (kind == "fused" and not retry_s
+                          and self._budget_boost.get(cap, 1) > 1
+                          and 0 < need.get(-1, 0) * 21 // 20
+                          <= base * self._budget_boost[cap] // 2):
+                        # Clean batch whose exact max need fits HALF the
+                        # boosted budget: decay one step.  Heals stale
+                        # persisted boosts (the oversized chain DP costs
+                        # every batch) while honest boosts - where need
+                        # really is near the budget - stay put.
+                        self._budget_boost[cap] //= 2
                     dt_call = _time.perf_counter() - t_call
                     with self._counters_lock:
                         if on_device:
