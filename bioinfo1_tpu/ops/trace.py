@@ -222,13 +222,22 @@ def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
         i0 = jnp.swapaxes(gi_ref[...], 0, 1)          # (b_pad, 1)
         j0 = jnp.swapaxes(gj_ref[...], 0, 1)
         rows_ch = jax.lax.broadcasted_iota(jnp.int32, (CH4, b_pad), 0)
-        cache0 = jnp.zeros((b_pad, 2 * 128), jnp.int32)
-        cbase0 = jnp.zeros((b_pad, 1), jnp.int32)
 
-        def step(t, carry):
-            i, j, acc, obuf, cur_slab, cache, cbase = carry
-            d = D_hi - t
-            rp = jnp.clip((d - 2) >> 2, 0, S4 - 1)
+        # One iteration per PACKED PARENT ROW (4 consecutive diagonals,
+        # descending).  D_hi = 4*S4 + 1 makes group g's top diagonal
+        # d_top = D_hi - 4g satisfy (d_top - 2) & 3 == 3, so the whole
+        # group reads ONE parent row and ONE output byte completes per
+        # iteration - the window refresh, the byte store and the DMA
+        # flush all run unconditionally at static positions instead of
+        # behind per-step lax.cond/@pl.when tests (the former per-DIAGONAL
+        # loop spent ~60% of its time in that branch machinery: 74 ->
+        # ~28 ms per 512 x 8 kb batch at W=1152).
+        n_groups = pl.cdiv(D_hi, 4)
+
+        def group(g, carry):
+            i, j, obuf, cur_slab = carry
+            d_top = D_hi - 4 * g
+            rp = jnp.clip((d_top - 2) >> 2, 0, S4 - 1)
             s = rp // R
 
             @pl.when(s < cur_slab)
@@ -240,73 +249,67 @@ def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
                     slab_dma(s - 1, (s - 1) % 2).start()
 
             cur_slab = jnp.minimum(cur_slab, s)
-            lane = (j - i + W - (d & 1)) >> 1
-            # Two-level extraction: refresh a per-read 256-lane window of
-            # the parent row once per 4-diagonal ROW GROUP (the cursor
-            # drifts <= 1 lane per step, so a window anchored 4 lanes below
-            # the group-entry lane covers the whole group), then the
-            # per-diagonal byte select runs on (B, 256) instead of (B, W)
-            # - the walk's dominant cost at wide bands scaled with W.
-            new_group = (t == 0) | (((d - 2) & 3) == 3)
+            # Per-read 256-lane window of the group's parent row: the
+            # cursor drifts <= 1 lane per step, so anchoring 4 lanes below
+            # the group-entry lane covers all 4 steps; the per-diagonal
+            # byte select then runs on (B, 256) instead of (B, W).
+            lane_in = (j - i + W - (d_top & 1)) >> 1
+            prow = slab_s[s % 2, rp % R]              # (b_pad, W) uint8
+            c = jnp.clip((lane_in - 4) >> 7, 0, max(NC - 2, 0))
+            # Chunk-pair select as a STATIC uint8 select-chain (no 3-D
+            # masked reduction - 8-bit reductions are not lowerable, and
+            # the int32 version paid a full-row widening per group): NC
+            # selects on (B, 128) byte tiles, then only the 256 chosen
+            # lanes widen to int32.
+            hi_c = jnp.minimum(c + 1, NC - 1)
+            lo = prow[:, 0:128]
+            hi = lo
+            for nc in range(1, NC):
+                tile = prow[:, nc * 128:(nc + 1) * 128]
+                lo = jnp.where(c == nc, tile, lo)
+                hi = jnp.where(hi_c == nc, tile, hi)
+            cache = jnp.concatenate([lo, hi], axis=1).astype(jnp.int32)
+            cbase = c << 7
 
-            def refresh(_):
-                prow = slab_s[s % 2, rp % R]          # (b_pad, W) uint8
-                c = jnp.clip((lane - 4) >> 7, 0, max(NC - 2, 0))
-                view = prow.reshape(b_pad, NC, 128).astype(jnp.int32)
-                lo = jnp.sum(jnp.where(chunks == c[:, :, None], view, 0),
-                             axis=1)
-                hi_c = jnp.minimum(c + 1, NC - 1)
-                hi = jnp.sum(jnp.where(chunks == hi_c[:, :, None], view, 0),
-                             axis=1)
-                return jnp.concatenate([lo, hi], axis=1), c << 7
+            acc = jnp.int32(0xFF)
+            for sub in range(4):                      # static unroll
+                d = d_top - sub
+                lane = (j - i + W - (d & 1)) >> 1
+                word = jnp.sum(
+                    jnp.where(lanes2 == lane - cbase, cache, 0),
+                    axis=1, keepdims=True)
+                p = (word >> (2 * ((d - 2) & 3))) & 3
+                p = jnp.where(i == 0, OP_I, jnp.where(j == 0, OP_D, p))
+                alive = (i > 0) | (j > 0)
+                # Trailing sub-steps past d = 2 decode garbage rows but
+                # i + j == d can no longer hold there (d <= 1 needs a
+                # finished read), so they emit 3 like any off-diagonal.
+                at_d = alive & (i + j == d)
+                code = jnp.where(at_d, p, 3)
+                di = jnp.where((p == OP_M) | (p == OP_D), 1, 0)
+                dj = jnp.where((p == OP_M) | (p == OP_I), 1, 0)
+                i = jnp.where(at_d, i - di, i)
+                j = jnp.where(at_d, j - dj, j)
+                code_row = jnp.swapaxes(code, 0, 1).astype(jnp.int32)
+                acc = (acc & ~(3 << (2 * sub))) | (code_row << (2 * sub))
 
-            cache, cbase = jax.lax.cond(
-                new_group, refresh, lambda _: (cache, cbase), 0)
-            word = jnp.sum(
-                jnp.where(lanes2 == lane - cbase, cache, 0),
-                axis=1, keepdims=True)
-            p = (word >> (2 * ((d - 2) & 3))) & 3
-            p = jnp.where(i == 0, OP_I, jnp.where(j == 0, OP_D, p))
-            alive = (i > 0) | (j > 0)
-            at_d = alive & (i + j == d)
-            code = jnp.where(at_d, p, 3)
-            di = jnp.where((p == OP_M) | (p == OP_D), 1, 0)
-            dj = jnp.where((p == OP_M) | (p == OP_I), 1, 0)
-            i = jnp.where(at_d, i - di, i)
-            j = jnp.where(at_d, j - dj, j)
+            obuf = jnp.where(rows_ch == jax.lax.rem(g, CH4), acc, obuf)
 
-            code_row = jnp.swapaxes(code, 0, 1).astype(jnp.int32)  # (1, b)
-            sub = t & 3
-            sh = 2 * sub
-            # Group slots not yet written must read as 3 (skip), so a
-            # final partial byte decodes cleanly: start each group at 0xFF
-            # and CLEAR-then-set the slot.
-            acc = jnp.where(sub == 0, jnp.int32(0xFF), acc)
-            acc = (acc & ~(3 << sh)) | (code_row << sh)
-
-            # Finished byte -> its row of the carried output chunk (a fori
-            # VALUE: dynamic-sublane scratch stores are not lowerable).
-            done_byte = (sub == 3) | (t == D_hi - 1)
-            obuf = jnp.where(done_byte & (rows_ch == (t >> 2) % CH4),
-                             acc, obuf)
-
-            @pl.when((((t >> 2) % CH4 == CH4 - 1) & (sub == 3))
-                     | (t == D_hi - 1))
+            @pl.when((jax.lax.rem(g, CH4) == CH4 - 1) | (g == n_groups - 1))
             def _():
-                base = pl.multiple_of((t >> 2) - ((t >> 2) % CH4), CH4)
+                base = pl.multiple_of(g - jax.lax.rem(g, CH4), CH4)
                 obuf_s[...] = obuf.astype(jnp.uint8)
                 cp = pltpu.make_async_copy(
                     obuf_s, out_ref.at[pl.ds(base, CH4)], out_sem)
                 cp.start()
                 cp.wait()
 
-            return i, j, acc, obuf, cur_slab, cache, cbase
+            return i, j, obuf, cur_slab
 
         jax.lax.fori_loop(
-            0, D_hi, step,
-            (i0, j0, jnp.zeros((1, b_pad), jnp.int32),
-             jnp.zeros((CH4, b_pad), jnp.int32), jnp.int32(s_top + 1),
-             cache0, cbase0))
+            0, n_groups, group,
+            (i0, j0, jnp.zeros((CH4, b_pad), jnp.int32),
+             jnp.int32(s_top + 1)))
 
     par_p = parents
     if S4p != S4 or b_pad != B:
