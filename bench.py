@@ -25,7 +25,9 @@ sys.path.insert(0, REPO)
 
 GENOME_LEN = 4_641_652      # E. coli K-12 MG1655 size (BASELINE.md)
 READ_LEN = 4096
-N_READS = 256               # timed batch total
+N_READS = 1024              # timed total (4 chained device batches: one
+                            # ~30 ms tunnel fetch amortizes over the pass
+                            # instead of dominating a single batch)
 BATCH = 256                 # reads per device step (best measured config;
                             # see tools/profile_step.py sweep)
 K, W, F = 15, 5, 0.001

@@ -468,8 +468,10 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         width - regions beyond it are clamped (flagged via overflow as well).
       band: static banded-alignment width (global mode only; 0 = full
         wavefront).  Banded scores carry an exactness certificate
-        (ops/pallas_band.py); any uncertified read triggers one full-kernel
-        pass inside the same jit, so the result is ALWAYS exact.
+        (ops/pallas_band.py); uncertified reads are flagged ``inexact``
+        and the host realigns them at the band their own lower-bound
+        score proves certifiable (pipeline/mapper._realign_bucket), so
+        emitted results are ALWAYS exact.
     """
     if region_cap == 0:
         region_cap = reads.shape[1]
@@ -480,21 +482,24 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
         shard_axis=shard_axis)
 
     def full_scores():
-        if use_pallas:
+        if use_pallas and full_ok:
             from bioinfo1_tpu.ops import pallas_align as pa
             return pa.align_scores(q_win, q_len, t_win, t_len, mode,
                                    match, mismatch, gap).score
         return al.align_batch(q_win, q_len, t_win, t_len, mode,
                               match, mismatch, gap, want_parents=False).score
 
-    # The full wavefront kernel holds q/t bytes plus 3 int32 diagonal rows
-    # per 32-read tile in VMEM; past ~24 kb regions it cannot compile
-    # (scoped-vmem OOM on the 50 kb read class killed every batch: the
-    # cond branch is compiled even when never taken).  For those caps the
-    # fallback is compiled OUT and certificate misses surface as
-    # ``inexact`` - the host reruns them through the realign-only pass at
-    # the band their lower-bound score proves (same recovery as the -c
-    # path's cert misses).
+    # Banded path: certificate misses surface as ``inexact`` and the host
+    # reruns them through the realign-only pass at the band their
+    # lower-bound score proves (the -c path's recovery).  The r02-r04
+    # in-jit whole-batch full-wavefront fallback is gone: at ~1% miss
+    # rates nearly every batch fired it (repeat-genome profile: the
+    # 8 kb bucket paid ~200 ms of full-matrix DP per 171-read batch for
+    # a couple of outliers), and past ~24 kb regions its cond branch
+    # could not even compile (scoped-vmem OOM killed the 50 kb class).
+    # band == 0 (banding disabled, e.g. gap >= 0 configs where no
+    # certificate exists) still runs the full kernel, with the lax scan
+    # as the fallback where it cannot fit VMEM.
     n1_pad = -(-(reads.shape[1] + 1) // 128) * 128
     m_pad = -(-max(region_cap, 128) // 128) * 128
     full_ok = 32 * (13 * n1_pad + m_pad) <= 12e6
@@ -507,14 +512,8 @@ def map_step(reads: jax.Array, lens: jax.Array, index: DeviceIndex,
                                       dash_free=dash_free)
         certified = pb.certify(bout.score, q_win, q_len, t_win, t_len,
                                match, mismatch, gap, band, mode=mode)
-        if full_ok:
-            need_full = jnp.any(mapped & ~certified)
-            full = jax.lax.cond(need_full, full_scores,
-                                lambda: jnp.zeros_like(bout.score))
-            score = jnp.where(certified, bout.score, full)
-        else:
-            score = bout.score
-            inexact = mapped & ~certified
+        score = bout.score
+        inexact = mapped & ~certified
     else:
         score = full_scores()
 

@@ -998,11 +998,13 @@ class Mapper:
                                     int(out.t_end[i]), bool(out.is_fwd[i]),
                                     int(out.score[i]))
             elif cig is None and bool(out.inexact[i]):
-                # Long-read caps compile the full-kernel fallback OUT
-                # (device_map.map_step full_ok): the banded score is a
-                # lower bound; rerun through the realign pass at the band
-                # that bound proves (always certifies there - same
-                # argument as the -c cert-miss route).
+                # Score-path certificate miss: the banded score is a lower
+                # bound; rerun through the realign pass at the band that
+                # bound proves (always certifies there - same argument as
+                # the -c cert-miss route).  Replaces the r02-r04 in-jit
+                # whole-batch full-wavefront fallback, which fired for a
+                # couple of outliers on nearly every repeat-genome batch
+                # at ~200 ms each and could not compile past ~24 kb.
                 results.append(ReadMapping(mapped=False))
                 host_retry.append(i)
                 ql_i = min(int(out.q_end[i]) - int(out.q_begin[i]) + 1, cap)
