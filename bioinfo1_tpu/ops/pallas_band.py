@@ -353,14 +353,21 @@ def align_scores_banded(q_bytes: jax.Array, q_lens: jax.Array,
     W = _round_up(band, 128)
     # block=0: widest tile the batch fills - grid tiles run sequentially, so
     # fewer/wider tiles cut the serial step count (measured 45 -> 33 ms per
-    # 256x4k batch going 32 -> 128) while staying well inside VMEM.
-    BT = block if block else (128 if B >= 128 else 64 if B >= 64 else 32)
+    # 256x4k batch going 32 -> 128) while staying well inside VMEM.  For
+    # 3/4-point batch caps (192, 384, ... - pipeline/mapper._batch_cap) a
+    # 128 tile would round the batch back up to the pow-2; 64 divides them.
+    BT = block if block else (
+        128 if B >= 128 and B % 128 == 0 else
+        64 if B >= 64 else 32)
     # VMEM guard for very wide bands (outlier-read reruns can reach
     # whole-matrix width): 4 int32 state rows + the packed parent chunk
     # cost ~48 B per lane per tile row.
     while BT > 8 and BT * W * 48 > 12e6:
         BT //= 2
-    b_pad = _round_up(max(B, BT), BT)
+    # Parents feed the Pallas walk, whose slab/output DMAs require the
+    # batch dim 128-aligned; score-only batches may land on 64-grained
+    # 3/4-point caps (192, 384 - pipeline/mapper._batch_cap).
+    b_pad = _round_up(max(B, BT), 128 if want_parents else BT)
     n_pad = _round_up(max(n, 128), 128)
     # The band never touches j > i + W, so the target tail beyond n+W is
     # dead weight; reads needing it fail certification anyway.

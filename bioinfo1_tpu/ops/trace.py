@@ -198,6 +198,9 @@ def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
     D4 = -(-(D_hi) // 4)
     CH4 = 32                                # packed out rows per DMA flush
     D4p = -(-D4 // CH4) * CH4
+    # The slab and output DMAs need 128-aligned batch dims; the band
+    # kernel already pads want_parents batches to 128-multiples, so this
+    # never copies the multi-GB parent tensor.
     b_pad = -(-B // 128) * 128
 
     gi = jnp.zeros((1, b_pad), jnp.int32).at[0, :B].set(

@@ -81,11 +81,10 @@ class MapOut:
     overflow: match budget exceeded (host must retry bigger); need: the
     EXACT per-read match-list length (max over strands, pre-truncation) -
     overflowed reads retry at a budget covering it in ONE hop instead of
-    doubling blindly; inexact: the banded score is only a lower bound
-    (certificate miss with the in-jit full-kernel fallback compiled OUT -
-    long-read caps where the full wavefront cannot fit VMEM; the host
-    reruns such reads through the realign pass at the band their own
-    lower-bound score proves certifiable).
+    doubling blindly; inexact: banded-certificate miss - the score is
+    only a lower bound and the host reruns the read through the
+    realign-only pass at the band that bound proves certifiable
+    (pipeline/mapper._realign_bucket; always False when band == 0).
     """
 
     mapped: jax.Array

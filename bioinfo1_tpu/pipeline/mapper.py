@@ -144,6 +144,22 @@ def _region_cap(cap: int) -> int:
     return _bucket_cap(2 * cap, 16)
 
 
+def _batch_cap(b: int, floor: int) -> int:
+    """Canonical BATCH size: powers of two interleaved with 3/4-points
+    where those stay 64-divisible (192, 384, 768, ...).  Every per-batch
+    cost - fills, walks, match tables, the -c codes fetch - scales with
+    the PADDED batch, and sub-flush-size bucket flushes (mixed-length
+    tails, end-of-stream) padded to the next pow-2 ran up to 33% idle
+    rows (a 342-read repeat flush padded to 512).  64-divisibility keeps
+    every Pallas tile height (<= 128 via the kernels' B %% 128 checks)
+    and pow-2 mesh size dividing the batch."""
+    p = _pow2_at_least(b, floor)
+    q = 3 * p // 4
+    if q >= b and q % 64 == 0 and q % max(floor, 1) == 0:
+        return q
+    return p
+
+
 def _pack_reads(seqs: Sequence[str], min_len: int,
                 canonical: bool = True,
                 min_batch: int = 8,
@@ -162,7 +178,7 @@ def _pack_reads(seqs: Sequence[str], min_len: int,
     B = len(seqs)
     if canonical:
         L = max(L, len_to) if len_to >= L else _pow2_at_least(L, 16)
-        B = _pow2_at_least(B, min_batch)
+        B = _batch_cap(B, min_batch)
     arr = np.zeros((B, L), dtype=np.uint8)
     lens = np.zeros((B,), dtype=np.int32)
     for i, s in enumerate(seqs):
@@ -1344,12 +1360,16 @@ class Mapper:
             "BIOINFO1_INFLIGHT_BYTES", 7e9)))
 
         def _flush_cost(n_entries: int, cap: int) -> int:
-            bpad = _pow2_at_least(n_entries, 8)
-            cost = bpad * cap * 512
+            bpad = _batch_cap(n_entries, 8)
+            cost = bpad * cap * 320
             if cfg.output_cigar:
-                # Kernel-packed parent stream: (2*cap + W)/4 byte rows x W
-                # lanes per read (ops/pallas_band.py), plus walk workspace.
-                cost += cap * bpad * self._bucket_band(cap, True) * 3 // 4
+                # Kernel-packed parent stream: steps_pad/4 ~ (2*cap+W)/4
+                # byte rows x W lanes per read (ops/pallas_band.py), plus
+                # walk slabs.  The previous 3*cap/4-row estimate ran ~40%
+                # high and needlessly serialized the 8 kb -c flush against
+                # everything else, exposing its codes fetch.
+                W = self._bucket_band(cap, True)
+                cost += bpad * W * ((2 * cap + W) // 4 + 64)
             return cost
 
         executor = ThreadPoolExecutor(max_workers=DEPTH)
