@@ -542,7 +542,10 @@ def measure_indel(genome, mapper):
     from bioinfo1_tpu.utils import simulate as sim
 
     rng = np.random.default_rng(SEED + 2)
-    lengths = [2000, 4000, 8000] * 512              # 1536 reads, 3 buckets
+    # 3072 reads = 6 full flushes: the 3-deep pipeline reaches steady
+    # state and the tail batch's codes fetch amortizes (a 3-flush region
+    # charged one whole exposed fetch+decode to the -c rate).
+    lengths = [2000, 4000, 8000] * 1024             # 3072 reads, 3 buckets
     records = sim.simulate_reads(genome, lengths, rng)
 
     def timed(cfg):

@@ -98,7 +98,7 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
             return step(borders, goal, 1, d0 + 1, carry)
         return pair
 
-    def step(borders, goal, p, d, carry):
+    def step(borders, goal, p, d, carry, sub_static=None):
         """One anti-diagonal.  ``borders``/``goal``/``p`` are STATIC phase
         flags: for d >= W+2 the band interior cannot touch row 0 / column 0
         (min i_lane = ceil((d-W)/2) >= 1, same for j_lane) and no lane is
@@ -207,17 +207,11 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
             # step idx = d-2 lands in byte row idx>>2 at bit 2*(idx&3)
             # (ops/trace.py walk_parents and utils/cigar._parent read it).
             idx = d - 2
-            sub = jax.lax.rem(idx, 4)
-            pp = parent << (2 * sub)
-            pacc = jnp.where(sub == 0, pp, pacc | pp)
 
-            @pl.when((sub == 3) | (d == d_stop))
-            def _():
+            def store_pbuf():
                 pbuf_s[jax.lax.rem(idx, CH) // 4] = pacc.astype(jnp.uint8)
 
-            # Flush a full chunk (or the final partial one) to HBM.
-            @pl.when((jax.lax.rem(idx, CH) == CH - 1) | (d == d_stop))
-            def _():
+            def flush_chunk():
                 base = pl.multiple_of(idx - jax.lax.rem(idx, CH), CH)
                 cp = pltpu.make_async_copy(
                     pbuf_s,
@@ -226,6 +220,39 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
                     dma_sem)
                 cp.start()
                 cp.wait()
+
+            if sub_static is None:
+                sub = jax.lax.rem(idx, 4)
+                pp = parent << (2 * sub)
+                pacc = jnp.where(sub == 0, pp, pacc | pp)
+
+                @pl.when((sub == 3) | (d == d_stop))
+                def _():
+                    store_pbuf()
+
+                # Flush a full chunk (or the final partial one) to HBM.
+                @pl.when((jax.lax.rem(idx, CH) == CH - 1) | (d == d_stop))
+                def _():
+                    flush_chunk()
+            else:
+                # Quad loop (make_quad): the byte position is STATIC, so
+                # the packing is a plain shift-or, the byte store runs
+                # unconditionally once per 4 steps, and only the rare
+                # final-partial-byte case stays behind a predicate.
+                pp = parent << (2 * sub_static)
+                pacc = pp if sub_static == 0 else (pacc | pp)
+                if sub_static == 3:
+                    store_pbuf()
+
+                    @pl.when((jax.lax.rem(idx, CH) == CH - 1)
+                             | (d == d_stop))
+                    def _():
+                        flush_chunk()
+                else:
+                    @pl.when(d == d_stop)
+                    def _():
+                        store_pbuf()
+                        flush_chunk()
 
         if mode == 0 and goal:
             # Goal (ql, tl): captured on its anti-diagonal at its band lane.
@@ -292,19 +319,52 @@ def _kernel(W, BT, n_len, m_len, n_steps, want_parents, CH, mode, dash_free,
     # sweep end rounds UP (the extra trailing diagonal only touches
     # scratch; captures stay guarded by their exact per-read conditions).
     d_stop = jnp.minimum(jnp.max(ql + tl), n_steps + 1)
-    e_end = (d_stop + 2) // 2                  # pairs cover d <= d_stop
-    e_border = jnp.minimum(jnp.int32((W + 2) // 2), e_end)
-    carry = jax.lax.fori_loop(1, e_border, make_pair(True, True), carry0)
-    if mode == 0:
-        d_goal = jnp.min(jnp.where(ql > 0, ql + tl, jnp.int32(2**30)))
-        e_goal = jnp.clip(d_goal // 2, e_border, e_end)
-        carry = jax.lax.fori_loop(e_border, e_goal,
-                                  make_pair(False, False), carry)
-        carry = jax.lax.fori_loop(e_goal, e_end,
-                                  make_pair(False, True), carry)
+    if want_parents:
+        # Quad loop: 4 diagonals per iteration so the parent-byte position
+        # (d - 2) & 3 is STATIC per sub-step (see step's sub_static arm).
+        # Quad h covers d in [4h+2, 4h+5]; boundary rounding as for pairs
+        # (borders round UP - late masks are no-ops; goal start rounds
+        # DOWN - capture is exact-guarded; end rounds UP - the trailing
+        # diagonals only touch scratch and post-d_stop parent bytes, which
+        # the walk never reads).
+        def make_quad(borders, goal):
+            def quad(h, carry):
+                d0 = 4 * h + 2
+                carry = step(borders, goal, 0, d0, carry, 0)
+                carry = step(borders, goal, 1, d0 + 1, carry, 1)
+                carry = step(borders, goal, 0, d0 + 2, carry, 2)
+                return step(borders, goal, 1, d0 + 3, carry, 3)
+            return quad
+
+        h_end = (d_stop - 2) // 4 + 1
+        h_border = jnp.minimum(jnp.int32(W // 4 + 1), h_end)
+        carry = jax.lax.fori_loop(0, h_border, make_quad(True, True),
+                                  carry0)
+        if mode == 0:
+            d_goal = jnp.min(jnp.where(ql > 0, ql + tl, jnp.int32(2**30)))
+            h_goal = jnp.clip((d_goal - 2) // 4, h_border, h_end)
+            carry = jax.lax.fori_loop(h_border, h_goal,
+                                      make_quad(False, False), carry)
+            carry = jax.lax.fori_loop(h_goal, h_end,
+                                      make_quad(False, True), carry)
+        else:
+            carry = jax.lax.fori_loop(h_border, h_end,
+                                      make_quad(False, True), carry)
     else:
-        carry = jax.lax.fori_loop(e_border, e_end,
-                                  make_pair(False, True), carry)
+        e_end = (d_stop + 2) // 2              # pairs cover d <= d_stop
+        e_border = jnp.minimum(jnp.int32((W + 2) // 2), e_end)
+        carry = jax.lax.fori_loop(1, e_border, make_pair(True, True),
+                                  carry0)
+        if mode == 0:
+            d_goal = jnp.min(jnp.where(ql > 0, ql + tl, jnp.int32(2**30)))
+            e_goal = jnp.clip(d_goal // 2, e_border, e_end)
+            carry = jax.lax.fori_loop(e_border, e_goal,
+                                      make_pair(False, False), carry)
+            carry = jax.lax.fori_loop(e_goal, e_end,
+                                      make_pair(False, True), carry)
+        else:
+            carry = jax.lax.fori_loop(e_border, e_end,
+                                      make_pair(False, True), carry)
     score, bc, bi, bj, cc, ci, rc, rj, _ = carry
     if mode == 0:
         score_ref[...] = score
