@@ -309,6 +309,9 @@ def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
 
             return i, j, obuf, cur_slab
 
+        # (Measured negative result: a two-rows-per-iteration unroll
+        # changed nothing - 20.7 vs 21 ms - the cost is the per-group
+        # vector work, not loop overhead.)
         jax.lax.fori_loop(
             0, n_groups, group,
             (i0, j0, jnp.zeros((CH4, b_pad), jnp.int32),
@@ -320,10 +323,10 @@ def walk_parents_pallas(parents: jax.Array, goal_i: jax.Array,
             parents)
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((D4p, b_pad), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((2, R, b_pad, W), jnp.uint8),
