@@ -66,13 +66,17 @@ def main():
 
         return lambda r, l: f(r, l, didx)
 
-    def full(r, l):
-        o = dm.map_step(r, l, didx, m, n, g, k=K, w=W, mode=0,
+    def full(r, l, dx):
+        # dx as an ARG, not a closure: closing over the index embeds the
+        # multi-GB tables as captured constants at lowering (the remote
+        # compiler rejects the oversized program).
+        o = dm.map_step(r, l, dx, m, n, g, k=K, w=W, mode=0,
                         budget=BUDGET, region_cap=CAP,
                         use_pallas=True, band=128)
         return o.score.sum() + o.mapped.sum()
 
-    full_j = jax.jit(full)
+    full_jit = jax.jit(full)
+    full_j = lambda r, l: full_jit(r, l, didx)   # noqa: E731
 
     def timed(name, fn, nrep=4):
         jax.device_get(fn(reads_d, lens_d))
